@@ -1,0 +1,175 @@
+"""Typed experiment configuration (replaces mmcv `Config.fromfile`).
+
+The reference drives everything from python dict-configs
+(`config/cfg_kitti_*.py`, schema in SURVEY §2.7). Here each section is a
+frozen dataclass so configs are hashable / jit-static. Experiment presets
+live in /root/repo/configs/*.py and build an `ExperimentConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+# frame ids: ints are temporal offsets, "s" is the opposite stereo view
+FrameId = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "mono_baseline"
+    depth_num_layers: int = 18
+    pose_num_layers: int = 18
+    extractor_num_layers: int = 50
+    frame_ids: tuple = (0, -1, 1)
+    height: int = 192
+    width: int = 640
+    scales: tuple = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    # pose net always runs at this fixed resolution (mono_fm_joint/net.py:168)
+    pose_height: int = 192
+    pose_width: int = 640
+
+    # loss switches / weights
+    automask: bool = True
+    disp_norm: bool = True
+    smoothness_weight: float = 1e-3
+    perception_weight: float = 1e-3
+    dis: float = 1e-3
+    cvt: float = 1e-3
+    img_reconstruct_weight: float = 1.0
+
+    # extractor behavior
+    use_extractor: bool = False        # perceptual branch exists
+    joint_extractor: bool = False      # extractor trains jointly (mono_fm_joint)
+    freeze_extractor: bool = False     # stop-gradient through extractor
+    use_image_decoder: bool = False    # reconstruction Decoder exists
+    inpaint: bool = False              # extractor eats masked input; recon masked
+
+    # disentangle (TripleD)
+    disentangle_layers: tuple = (False, False, False, False, False)
+    depth_skip_type: str | None = None       # None|'ca'|'pa'|'asca'|'1x1'
+    depth_disentangle_type: str = "use_half"  # 'use_half'|'1x1'
+    color_skip_type: str | None = None        # None|'1x1'
+    color_skip_layers: tuple = (False, False, False, False)
+    skip_connection_multiplier: float = 1.0
+    auto_res_weight: float = 0.0
+    use_pfp: bool = False
+
+    # distillation heads
+    d2g_weight: float = 0.0
+    colorize_weight: float = 0.0
+    use_normal: bool = False
+    use_lab: bool = False
+    use_mask: bool = False
+    use_distill_mask: bool = False
+
+    # separate-encoder distill variants
+    sep_colorize: bool = False
+    sep_inpaint: bool = False
+    cond_encoder: bool = False
+    inpaint_weight: float = 0.0
+    colorize_num_layers: int = 50
+    inpaint_num_layers: int = 50
+
+    # map-pose pretext
+    map_pose: bool = False
+    map_output: int = 0
+    map_pose_weight: float = 0.0
+
+    # equivariant pretext
+    equivariant: bool = False
+    equivariant_weight: float = 0.0
+
+    # rotation pretext (rotnet / mono_fm_joint_im_rot)
+    im_rot: bool = False
+    pretext_resize: int = 224
+    pretext_label_size: int = 4
+    pretext_weight: float = 1.0
+
+    # decoder variants
+    use_hr_depth: bool = False
+    use_diffnet: bool = False
+    depth_use_shuffle: bool = False
+
+    # numerics
+    compute_dtype: str = "float32"     # 'bfloat16' for mixed-precision conv path
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.frame_ids)
+
+    @property
+    def source_indices(self) -> tuple:
+        """Positional indices of non-target frames in stacked inputs."""
+        return tuple(range(1, len(self.frame_ids)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    name: str = "kitti"
+    split: str = "exp"
+    height: int = 192
+    width: int = 640
+    frame_ids: tuple = (0, -1, 1)
+    in_path: str = ""
+    gt_depth_path: str = ""
+    png: bool = True
+    stereo_scale: bool = False
+    # inpaint masks
+    erase_shape: tuple = (16, 16)
+    erase_count: int = 0
+    # map-pose
+    map_alphas: tuple = ()
+    # loader
+    batch_size: int = 12
+    shuffle: bool = True
+    seed: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3.0
+    lr_steps: tuple = (20, 30)   # epochs
+    lr_gamma: float = 0.5
+    total_epochs: int = 40
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    optim: OptimConfig = OptimConfig()
+    work_dir: str = "work_dir"
+    seed: int = 1024
+    validate: bool = True
+    validate_interval: int = 1
+    checkpoint_interval: int = 1
+    log_interval: int = 50
+    resume_from: str | None = None
+    finetune: str | None = None
+    load_from: str | None = None
+
+
+def load_config(path: str) -> ExperimentConfig:
+    """Execute a python config file that defines `config: ExperimentConfig`."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_experiment_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = getattr(mod, "config")
+    assert isinstance(cfg, ExperimentConfig), f"{path} must define `config`"
+    return cfg
+
+
+def dump_config(cfg: ExperimentConfig, path: str) -> None:
+    import pprint
+
+    with open(path, "w") as f:
+        f.write(pprint.pformat(dataclasses.asdict(cfg), width=100))

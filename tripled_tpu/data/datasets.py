@@ -1,0 +1,322 @@
+"""Triplet-frame datasets (host-side numpy; fixed-shape outputs for jit).
+
+Re-design of the reference's `mono/datasets/mono_dataset.py` /
+`kitti_dataset.py` family: each dataset produces one *sample dict* of
+fixed-shape float32 arrays, stacked over the frame axis in `frame_ids` order
+(index 0 = target). Batching/sharding/prefetch live in `pipeline.py`.
+
+Sample keys (subset depending on dataset):
+  color      (F, H, W, 3)    color_aug (F, H, W, 3)
+  K, inv_K   (4, 4)
+  mask       (H, W, 1)       1 = keep, 0 = erased (inpaint datasets)
+  stereo_T   (4, 4)          when "s" ∈ frame_ids
+  map_mask   (F-1, H, W, 1)  map_params (F-1, 3)
+Validation items additionally carry `gt_depth` (native-res, variable shape —
+kept host-side; see pipeline.EvalLoader).
+
+Reference parity notes:
+- shared ColorJitter and flip probabilities/ranges: `mono_dataset.py:64-73,140-141`
+- missing-neighbor fallback to the center frame: `mono_dataset.py:160-168`
+- intrinsics: normalized K scaled by (W, H) then inverted: `mono_dataset.py:173-180`
+- stereo extrinsics ±0.015 with flip sign: `mono_dataset.py:194-199`
+- KITTI normalized K and side map: `kitti_dataset.py:126-132`
+- erase masks: `kitti_dataset.py:163-182`; motion masks: `:276-296`
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from tripled_tpu.config import DataConfig
+from tripled_tpu.data import kitti_utils
+from tripled_tpu.data.transforms import (
+    ColorJitter,
+    load_image,
+    make_erase_mask,
+    motion_mask,
+    resize_antialias,
+    to_float,
+)
+
+
+class MonoDataset:
+    """Base triplet loader. Subclasses define `K_norm`, `full_res_shape`,
+    `get_image_path`."""
+
+    K_norm = np.array(
+        [[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    full_res_shape = (1242, 375)  # (W, H)
+
+    def __init__(
+        self,
+        data_path: str,
+        filenames: Sequence[str],
+        height: int,
+        width: int,
+        frame_ids: Sequence,
+        cfg: DataConfig | None = None,
+        is_train: bool = False,
+        img_ext: str = ".jpg",
+        gt_depth_path: str | None = None,
+    ):
+        self.data_path = data_path
+        self.filenames = list(filenames)
+        self.height = height
+        self.width = width
+        self.frame_ids = tuple(frame_ids)
+        self.cfg = cfg or DataConfig()
+        self.is_train = is_train
+        self.img_ext = img_ext
+        self.jitter = ColorJitter()
+        self.gt_depths = None
+        if not is_train and gt_depth_path:
+            self.gt_depths = np.load(
+                gt_depth_path, allow_pickle=True, fix_imports=True, encoding="latin1"
+            )["data"]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    # -------------------------------------------------------- subclass API
+
+    def get_image_path(self, folder, frame_index, side) -> str:
+        raise NotImplementedError
+
+    def get_color(self, folder, frame_index, side, do_flip):
+        img = load_image(self.get_image_path(folder, frame_index, side))
+        if do_flip:
+            img = img.transpose(0)  # PIL FLIP_LEFT_RIGHT
+        return img
+
+    # -------------------------------------------------------- sample
+
+    def parse_line(self, index):
+        line = self.filenames[index].split()
+        folder = line[0]
+        frame_index = int(line[1]) if len(line) == 3 else 0
+        side = line[2] if len(line) == 3 else None
+        return folder, frame_index, side
+
+    def load_frames(self, index, do_flip):
+        folder, frame_index, side = self.parse_line(index)
+        frames = []
+        for i in self.frame_ids:
+            if i == "s":
+                other = {"r": "l", "l": "r"}[side]
+                img = self.get_color(folder, frame_index, other, do_flip)
+            else:
+                try:
+                    img = self.get_color(folder, frame_index + i, side, do_flip)
+                except Exception:
+                    img = self.get_color(folder, frame_index, side, do_flip)
+            frames.append(resize_antialias(img, self.height, self.width))
+        return frames, side
+
+    def sample(self, index: int, rng: np.random.RandomState) -> dict:
+        do_color_aug = self.is_train and rng.rand() > 0.5
+        do_flip = self.is_train and rng.rand() > 0.5
+
+        frames, side = self.load_frames(index, do_flip)
+        colors = np.stack([to_float(f) for f in frames])  # (F, H, W, 3)
+        if do_color_aug:
+            aug = self.jitter.sample(rng)
+            color_aug = np.stack([aug(c) for c in colors])
+        else:
+            color_aug = colors.copy()
+
+        K = self.K_norm.copy()
+        K[0, :] *= self.width
+        K[1, :] *= self.height
+        inv_K = np.linalg.pinv(K).astype(np.float32)
+
+        out = {
+            "color": colors.astype(np.float32),
+            "color_aug": color_aug.astype(np.float32),
+            "K": K.astype(np.float32),
+            "inv_K": inv_K,
+        }
+        if "s" in self.frame_ids:
+            stereo_T = np.eye(4, dtype=np.float32)
+            baseline_sign = -1 if do_flip else 1
+            side_sign = -1 if side == "l" else 1
+            stereo_T[0, 3] = side_sign * baseline_sign * 0.015
+            out["stereo_T"] = stereo_T
+
+        self.post_process(out, rng)
+
+        if self.gt_depths is not None:
+            out["gt_depth"] = np.asarray(self.gt_depths[index], np.float32)
+        return out
+
+    def post_process(self, out: dict, rng: np.random.RandomState) -> None:
+        """Hook for masks / pretext extras."""
+
+
+class KITTIRawDataset(MonoDataset):
+    side_map = {"2": 2, "3": 3, "l": 2, "r": 3}
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = f"{frame_index:010d}{self.img_ext}"
+        return os.path.join(
+            self.data_path, folder, f"image_0{self.side_map[side]}/data", f_str
+        )
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        calib_path = os.path.join(self.data_path, folder.split("/")[0])
+        velo = os.path.join(
+            self.data_path, folder, f"velodyne_points/data/{int(frame_index):010d}.bin"
+        )
+        depth = kitti_utils.generate_depth_map(calib_path, velo, self.side_map[side])
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth
+
+    def get_pose(self, folder, frame_index, offset):
+        """OXTS speed-integrated relative displacement in the rectified cam
+        frame (`kitti_dataset.py:220-243`)."""
+        import datetime
+
+        oxts_root = os.path.join(self.data_path, folder, "oxts")
+        with open(os.path.join(oxts_root, "timestamps.txt")) as f:
+            timestamps = np.array(
+                [
+                    datetime.datetime.strptime(
+                        ts[:-3], "%Y-%m-%d %H:%M:%S.%f"
+                    ).timestamp()
+                    for ts in f.read().splitlines()
+                ]
+            )
+        speed0 = np.genfromtxt(
+            os.path.join(oxts_root, "data", f"{frame_index:010d}.txt")
+        )[[8, 9, 10]]
+        dt = timestamps[frame_index + offset] - timestamps[frame_index]
+        displacement = speed0 * dt
+        root = os.path.join(self.data_path, os.path.dirname(folder))
+        imu2velo = kitti_utils.read_calib_file(
+            os.path.join(root, "calib_imu_to_velo.txt")
+        )
+        velo2cam = kitti_utils.read_calib_file(
+            os.path.join(root, "calib_velo_to_cam.txt")
+        )
+        cam2cam = kitti_utils.read_calib_file(
+            os.path.join(root, "calib_cam_to_cam.txt")
+        )
+        velo2cam_mat = kitti_utils.transform_from_rot_trans(
+            velo2cam["R"], velo2cam["T"]
+        )
+        imu2velo_mat = kitti_utils.transform_from_rot_trans(
+            imu2velo["R"], imu2velo["T"]
+        )
+        rect = kitti_utils.transform_from_rot_trans(
+            cam2cam["R_rect_00"], np.zeros(3)
+        )
+        imu2cam = rect @ velo2cam_mat @ imu2velo_mat
+        return imu2cam[:3, :3] @ displacement + imu2cam[:3, 3]
+
+
+class KITTIInpaintDataset(KITTIRawDataset):
+    def post_process(self, out, rng):
+        out["mask"] = make_erase_mask(
+            rng, self.height, self.width, self.cfg.erase_shape, self.cfg.erase_count
+        )
+
+
+class KITTIMapDataset(KITTIInpaintDataset):
+    """Motion masks + alpha map-params per source frame
+    (`kitti_dataset.py:246-321`)."""
+
+    def post_process(self, out, rng):
+        super().post_process(out, rng)
+        alphas = tuple(self.cfg.map_alphas) or (0.25, 0.5, 0.75, 1.0)
+        target = out["color"][0]
+        masks, params = [], []
+        for i in range(1, len(self.frame_ids)):
+            src = out["color"][i]
+            masks.append(motion_mask(target, src))
+            max_pos = len(alphas) ** 2
+            gt_map = rng.randint(0, max_pos)
+            ind1, ind2 = gt_map // len(alphas), gt_map % len(alphas)
+            params.append([float(gt_map), alphas[ind1], alphas[ind2]])
+        out["map_mask"] = np.stack(masks).astype(np.float32)
+        out["map_params"] = np.asarray(params, np.float32)
+
+
+class KITTIOdomDataset(MonoDataset):
+    K_norm = KITTIRawDataset.K_norm
+
+    def get_image_path(self, folder, frame_index, side):
+        side_map = {"l": 0, "r": 1}
+        return os.path.join(
+            self.data_path,
+            f"sequences/{int(folder):02d}",
+            f"image_{side_map[side]}",
+            f"{frame_index:06d}{self.img_ext}",
+        )
+
+
+class KITTIDepthDataset(KITTIRawDataset):
+    """Uses the improved png GT depth maps (`kitti_dataset.py:341-371`)."""
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        from PIL import Image
+
+        p = os.path.join(
+            self.data_path,
+            folder,
+            f"proj_depth/groundtruth/image_0{self.side_map[side]}",
+            f"{frame_index:010d}.png",
+        )
+        depth = Image.open(p).resize(self.full_res_shape, Image.NEAREST)
+        depth = np.asarray(depth, np.float32) / 256.0
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth
+
+
+class FolderDataset(MonoDataset):
+    """Plain image-directory dataset (`folder_dataset.py:20-161`)."""
+
+    K_norm = np.array(
+        [[0.9765, 0, 0.5, 0], [0, 1.736, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+
+    def __init__(self, data_path, filenames=None, **kw):
+        files = sorted(os.listdir(data_path))
+        super().__init__(data_path, files, **kw)
+
+    def parse_line(self, index):
+        return self.filenames[index], index, None
+
+    def get_image_path(self, folder, frame_index, side):
+        idx = min(max(frame_index, 0), len(self.filenames) - 1)
+        return os.path.join(self.data_path, self.filenames[idx])
+
+    def load_frames(self, index, do_flip):
+        frames = []
+        for i in self.frame_ids:
+            j = min(max(index + (i if i != "s" else 0), 0), len(self.filenames) - 1)
+            img = self.get_color(None, j, None, do_flip)
+            frames.append(resize_antialias(img, self.height, self.width))
+        return frames, None
+
+
+class ETH3DDataset(FolderDataset):
+    K_norm = np.array(
+        [[0.9832, 0, 0.5, 0], [0, 1.736, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+
+
+class EuRoCDataset(FolderDataset):
+    # fx/w, fy/h from the EuRoC cam0 calibration (euroc_dataset.py:59)
+    K_norm = np.array(
+        [[458.654 / 752, 0, 0.5, 0], [0, 457.296 / 480, 0.5, 0], [0, 0, 1, 0],
+         [0, 0, 0, 1]],
+        np.float32,
+    )

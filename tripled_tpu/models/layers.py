@@ -1,0 +1,329 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-native equivalents of the reference's `mono/model/mono_fm_joint/layers.py`
+block zoo: reflection-padded convs, ELU conv blocks, CRP (chained residual
+pooling), channel/pixel attention variants, squeeze-excitation fusion, and
+the disentangle channel-split helpers.
+
+Conventions:
+- NHWC everywhere (TPU-native layout; XLA keeps convs on the MXU).
+- kaiming-normal (fan_out) conv init to match the reference's torch init.
+- BatchNorm: momentum 0.9 / eps 1e-5 (torch defaults); cross-replica sync is
+  implicit under jit+sharding (global-batch reduction), matching the
+  reference's SyncBN (`mono/apis/trainer.py:156-157`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
+
+
+class BatchNorm(nn.Module):
+    """torch-default BatchNorm2d (momentum 0.1 ⇒ flax momentum 0.9)."""
+
+    use_running_average: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5, dtype=x.dtype
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    out_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (1, 1), use_bias=self.use_bias, kernel_init=kaiming_out
+        )(x)
+
+
+class Conv3x3(nn.Module):
+    """Reflection-padded 3×3 conv (`layers.py:171-183`)."""
+
+    out_channels: int
+    use_refl: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_refl:
+            x = reflect_pad(x, 1)
+            padding = "VALID"
+        else:
+            padding = [(1, 1), (1, 1)]
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=padding, kernel_init=kaiming_out
+        )(x)
+
+
+class Conv5x5(nn.Module):
+    out_channels: int
+    use_refl: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_refl:
+            x = reflect_pad(x, 2)
+            padding = "VALID"
+        else:
+            padding = [(2, 2), (2, 2)]
+        return nn.Conv(
+            self.out_channels, (5, 5), padding=padding, kernel_init=kaiming_out
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 + ELU (`layers.py:150-158`)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.elu(Conv3x3(self.out_channels)(x))
+
+
+def max_pool_5x5_same(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
+
+
+class CRPBlock(nn.Module):
+    """Chained residual pooling: n_stages × (5×5 maxpool → 1×1 conv), summed
+    into the input (`layers.py:200-215`)."""
+
+    out_channels: int
+    n_stages: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        top = x
+        for _ in range(self.n_stages):
+            top = max_pool_5x5_same(top)
+            top = Conv1x1(self.out_channels, use_bias=False)(top)
+            x = top + x
+        return x
+
+
+class SqueezeAndExcitationBlock(nn.Module):
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.channels // self.reduction, (1, 1), use_bias=True)(x)
+        y = nn.relu(y)
+        return nn.Conv(self.channels, (1, 1), use_bias=True)(y)
+
+
+class ChannelDescriptor(nn.Module):
+    """Per-channel (std, mean) spatial descriptors (`layers.py:284-294`)."""
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        return jnp.sqrt(var), mean
+
+
+class AdaptivelyScaledCALayer(nn.Module):
+    """ASCA attention for disentangle skip layers (`layers.py:297-331`)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        std_des, mean_des = ChannelDescriptor()(x)
+        ref_std = SqueezeAndExcitationBlock(self.channels, self.reduction)(std_des)
+        ref_mean = SqueezeAndExcitationBlock(self.channels, self.reduction)(mean_des)
+        fused = jnp.concatenate([ref_std, ref_mean], axis=-1)
+        fused = nn.relu(nn.Conv(self.channels, (1, 1), use_bias=True)(fused))
+        fused = SqueezeAndExcitationBlock(self.channels, self.reduction)(fused)
+        return x * nn.sigmoid(fused)
+
+
+class CALayer(nn.Module):
+    """Channel (or pixel) attention (`layers.py:341-383`).
+
+    pix_att=True skips pooling (pixel attention); contrast_aware uses the
+    rescaled-contrast descriptor instead of the mean.
+    """
+
+    channels: int
+    reduction: int = 16
+    contrast_aware: bool = False
+    pix_att: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.contrast_aware:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+            std = jnp.sqrt(var)
+            y = -mean / std + std
+        elif not self.pix_att:
+            y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            y = x
+        y = nn.Conv(self.channels // self.reduction, (1, 1), use_bias=True)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (1, 1), use_bias=True)(y)
+        return x * nn.sigmoid(y)
+
+
+def identity_partial(x: jnp.ndarray, part_ratio: int = 2, use_right: bool = False):
+    """Channel-slice half of an embedding (`layers.py:386-400`)."""
+    c = x.shape[-1]
+    if use_right:
+        return x[..., c // part_ratio :]
+    return x[..., : c // part_ratio]
+
+
+class FSEModule(nn.Module):
+    """HR-Depth feature squeeze-excitation fusion (`layers.py:247-281`)."""
+
+    out_channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, high: jnp.ndarray, lows: Sequence[jnp.ndarray]):
+        from tripled_tpu.ops.image import upsample2x_nearest
+
+        feats = jnp.concatenate([upsample2x_nearest(high)] + list(lows), axis=-1)
+        c = feats.shape[-1]
+        y = jnp.mean(feats, axis=(1, 2))
+        y = nn.Dense(c // self.reduction, use_bias=False)(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False)(y)
+        y = nn.sigmoid(y)[:, None, None, :]
+        feats = feats * y
+        return nn.relu(nn.Conv(self.out_channels, (1, 1), use_bias=True)(feats))
+
+
+class ChannelAttention(nn.Module):
+    """DIFFNet channel attention (`layers.py:459-479`)."""
+
+    channels: int
+    ratio: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.Dense(self.channels // self.ratio, use_bias=False)(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False)(y)
+        return nn.sigmoid(y)[:, None, None, :] * x
+
+
+class AttentionModule(nn.Module):
+    """DIFFNet decoder attention fusion (`layers.py:433-456`)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, high: jnp.ndarray, lows: Sequence[jnp.ndarray]):
+        from tripled_tpu.ops.image import upsample2x_nearest
+
+        feats = jnp.concatenate([upsample2x_nearest(high)] + list(lows), axis=-1)
+        feats = ChannelAttention(feats.shape[-1])(feats)
+        feats = nn.Conv(
+            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True
+        )(feats)
+        return nn.relu(feats)
+
+
+class SPM(nn.Module):
+    """CADepth structure-perception module (`layers.py:403-429`): channel-wise
+    self-attention via a C×C gram matrix — a single large MXU matmul."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        v = x.reshape(b, h * w, c)
+        energy = jnp.einsum("bnc,bnd->bcd", v, v)  # (B, C, C)
+        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn = nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bcd,bnd->bnc", attn, v)
+        return out.reshape(b, h, w, c) + x
+
+
+class UpShuffle(nn.Module):
+    """Reflection-padded 3×3 conv → PixelShuffle(r) → ELU (`layers.py:124-134`).
+
+    Sub-pixel init (repeating one kaiming kernel r² times) reproduces the
+    reference's `init_subpixel` so the shuffle starts as a smooth upsample.
+    """
+
+    channels: int
+    upscale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale
+        c = self.channels
+
+        def subpixel_init(key, shape, dtype=jnp.float32):
+            kh, kw, cin, cout = shape
+            sub = kaiming_out(key, (kh, kw, cin, cout // (r * r)), dtype)
+            return jnp.repeat(sub, r * r, axis=-1)
+
+        x = reflect_pad(x, 1)
+        x = nn.Conv(c * r * r, (3, 3), padding="VALID", kernel_init=subpixel_init)(x)
+        b, h, w, _ = x.shape
+        # NHWC pixel shuffle: (B,H,W,C*r*r) -> (B,H*r,W*r,C)
+        x = x.reshape(b, h, w, r, r, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c)
+        return nn.elu(x)
+
+
+class DeconvBlock(nn.Module):
+    """ConvTranspose 3×3 s2 + edge reflection pad + ELU (`layers.py:137-147`)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.out_channels, (3, 3), strides=(2, 2), padding="VALID"
+        )(x)
+        # torch output_padding=0 with padding=1 trims to 2*in-1; then the
+        # reference reflection-pads (0,1,0,1) back to 2*in.
+        x = x[:, 1:-1, 1:-1, :]
+        x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)], mode="reflect")
+        return nn.elu(x)
+
+
+class PyramidPooling(nn.Module):
+    """PSP pooling block (`layers.py:10-30`)."""
+
+    out_channels: int
+    norm: Callable[..., Any] = BatchNorm
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from tripled_tpu.ops.image import resize_nearest
+
+        b, h, w, c = x.shape
+        outs = [x]
+        for bins in (1, 2, 3, 6):
+            ph, pw = h // bins, w // bins
+            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            pooled = nn.Conv(self.out_channels, (1, 1), use_bias=False)(pooled)
+            pooled = BatchNorm()(pooled, use_running_average=not train)
+            pooled = nn.relu(pooled)
+            outs.append(resize_nearest(pooled, h, w))
+        return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,654 @@
+"""TripleDNet-family unified model (flax.linen).
+
+The reference implements 13 model variants as a 4-deep inheritance diamond
+(`mono/model/*/net.py`; see SURVEY §2.3). Here there is ONE module whose
+`ModelConfig` flags select submodules and loss terms — the variants become
+config presets (`tripled_tpu/models/registry.py`), not classes.
+
+Inputs are a flat dict of stacked arrays (frame axis F follows
+`cfg.frame_ids` order; index 0 is the target frame):
+  color      (B, F, H, W, 3)   un-augmented frames
+  color_aug  (B, F, H, W, 3)   photometrically augmented frames
+  K, inv_K   (B, 4, 4)
+  mask       (B, H, W, 1)      inpaint erase mask (1 = keep), optional
+  stereo_T   (B, 4, 4)         when "s" ∈ frame_ids
+  map_mask   (B, F-1, H, W, 1) motion masks (map-pose variant)
+  map_params (B, F-1, 3)       (label, alpha1, alpha2) per source frame
+
+Train call returns (outputs, loss_dict); every loss_dict entry is a scalar
+(the reference means each entry then sums — `mono/apis/trainer.py:36-46`).
+Eval call returns the 4-scale disparity list [s0..s3].
+
+Parity notes (reference file:line cited per loss in the code):
+- the per-scale min-reprojection / automask / smoothness chain follows
+  `mono/model/mono_fm_joint/net.py:73-155`;
+- the perceptual (feature-metric) branch warps extractor stage-0 features at
+  H/2 (`net.py:196-223`); computed once — the reference recomputes the same
+  scale-0 value in every scale iteration and divides by len(scales), which
+  sums to the same number;
+- the equivariant variant's mask warp uses the reference's (K, inv_K)
+  argument order verbatim (`mono_fm_joint_inpaint/net.py:651-653`), a quirk
+  kept for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tripled_tpu.config import ModelConfig
+from tripled_tpu.models.decoders import ColorDecoder, ImageDecoder
+from tripled_tpu.models.depth_decoder import DepthDecoder
+from tripled_tpu.models.encoders import DepthEncoder, Extractor, PoseEncoder
+from tripled_tpu.models.layers import (
+    AdaptivelyScaledCALayer,
+    BatchNorm,
+    CALayer,
+    Conv1x1,
+    identity_partial,
+)
+from tripled_tpu.models.pose_decoder import PoseDecoder
+from tripled_tpu.models.resnet import BasicBlock, stage_channels
+from tripled_tpu.ops import (
+    disp_to_depth,
+    grid_sample,
+    invert_intrinsics,
+    reprojection_loss,
+    rgb2lab,
+    rgb_to_gray,
+    rgb_to_l,
+    robust_l1,
+    scale_intrinsics,
+    smooth_loss,
+    feature_regularization_loss,
+    min_reprojection_with_automask,
+    perceptional_loss,
+    transformation_from_parameters,
+    warp_coords,
+)
+from tripled_tpu.ops.image import resize_bilinear
+
+
+class _SkipSplit(nn.Module):
+    """One disentangle skip layer: optional attention, then channel split
+    (`mono_fm_joint_inpaint/net.py:402-441`)."""
+
+    channels: int
+    attention: Optional[str] = None  # 'ca' | 'pa' | 'asca' | None
+    split: Optional[str] = None      # 'use_half' (left) | '1x1' | None
+    full_1x1: bool = False           # non-split 1x1+BN+ELU (last-stage option)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.attention == "ca":
+            x = CALayer(self.channels)(x)
+        elif self.attention == "pa":
+            x = CALayer(self.channels, pix_att=True)(x)
+        elif self.attention == "asca":
+            x = AdaptivelyScaledCALayer(self.channels)(x)
+        if self.split == "use_half":
+            x = identity_partial(x, 2, use_right=False)
+        elif self.split == "1x1":
+            x = Conv1x1(self.channels // 2)(x)
+            x = BatchNorm()(x, use_running_average=not train)
+            x = nn.elu(x)
+        elif self.full_1x1:
+            x = Conv1x1(self.channels)(x)
+            x = BatchNorm()(x, use_running_average=not train)
+            x = nn.elu(x)
+        return x
+
+
+class _DistillHead(nn.Module):
+    """BasicBlock(in→32) + 1×1 conv head used by the grayscale / colorize
+    distillation branches (`mono_fm_joint_inpaint/net.py:141-144,213-219`)."""
+
+    out_channels: int
+    use_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = BasicBlock(32, use_residual=self.use_residual)(x, train=train)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True)(x)
+
+
+class TripleDNet(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.depth_encoder = DepthEncoder(c.depth_num_layers)
+        enc_ch = stage_channels(c.depth_num_layers)
+
+        self._disentangled = any(c.disentangle_layers)
+        # depth skip layers
+        skips = []
+        depth_ch = []
+        for ind, flag in enumerate(c.disentangle_layers):
+            ch = enc_ch[ind]
+            att = c.depth_skip_type if c.depth_skip_type in ("ca", "pa", "asca") else None
+            if flag:
+                split = c.depth_disentangle_type
+                skips.append(_SkipSplit(ch, attention=att, split=split))
+                depth_ch.append(ch // 2)
+            else:
+                full_1x1 = (
+                    c.depth_skip_type == "1x1"
+                    and ind == len(c.disentangle_layers) - 1
+                )
+                skips.append(_SkipSplit(ch, attention=att, full_1x1=full_1x1))
+                depth_ch.append(ch)
+        self.depth_skips = skips
+        self.depth_decoder = DepthDecoder(
+            tuple(depth_ch), use_shuffle=c.depth_use_shuffle
+        )
+
+        self.pose_encoder = PoseEncoder(c.pose_num_layers, 2)
+        self.pose_decoder = PoseDecoder()
+
+        if c.use_extractor:
+            self.extractor = Extractor(c.extractor_num_layers)
+        if c.use_image_decoder:
+            self.image_decoder = ImageDecoder(3)
+
+        # color branch (disentangle)
+        if self._disentangled and (c.auto_res_weight > 0 or c.use_pfp):
+            color_ch = []
+            if c.color_skip_type == "1x1":
+                color_skips = []
+                for ind, flag in enumerate(c.color_skip_layers):
+                    if flag:
+                        color_skips.append(_SkipSplit(enc_ch[ind], split="1x1"))
+                        color_ch.append(enc_ch[ind] // 2)
+                    else:
+                        color_skips.append(_SkipSplit(enc_ch[ind]))
+                        color_ch.append(enc_ch[ind])
+                color_skips.append(_SkipSplit(enc_ch[-1]))
+                color_ch.append(enc_ch[-1])
+                self.color_skips = color_skips
+            else:
+                color_ch = [
+                    ch // 2 if flag else ch
+                    for ch, flag in zip(enc_ch, c.disentangle_layers)
+                ]
+            self.color_decoder = ColorDecoder(
+                3,
+                skip_connection_multiplier=c.skip_connection_multiplier,
+                skip_layers=tuple(bool(s) for s in c.color_skip_layers),
+            )
+
+        # distillation heads
+        if c.d2g_weight > 0:
+            in_ch = 2 if c.use_normal else 1
+            self.depth_to_gray = _DistillHead(1, use_residual=not c.use_normal)
+        if c.colorize_weight > 0 and not c.sep_colorize:
+            self.colorize_net = _DistillHead(2, use_residual=False)
+
+        # separate-encoder distill variants
+        if c.sep_colorize:
+            self.colorize_encoder = Extractor(c.colorize_num_layers)
+            self.colorize_decoder = ColorDecoder(
+                2, skip_connection_multiplier=c.skip_connection_multiplier
+            )
+        if c.sep_inpaint:
+            self.inpaint_encoder = Extractor(c.inpaint_num_layers)
+            self.inpaint_decoder = ColorDecoder(
+                3, skip_connection_multiplier=c.skip_connection_multiplier
+            )
+
+        if c.map_pose:
+            self.pose_map_cls = nn.Dense(c.map_output)
+
+        if c.im_rot:
+            self.rot_head = nn.Dense(c.pretext_label_size)
+
+    # ------------------------------------------------------------------ forward
+
+    def __call__(self, inputs: Dict[str, Any], train: bool = True):
+        c = self.cfg
+        scene = self.depth_encoder(inputs["color_aug"][:, 0], train=train)
+
+        depth_emb = [
+            skip(f, train=train) for skip, f in zip(self.depth_skips, scene)
+        ]
+        disps = self.depth_decoder(depth_emb, train=train)
+
+        if not train:
+            return disps
+
+        outputs: Dict[str, Any] = {"disps": disps}
+
+        # ---- color branch (disentangle)
+        if self._disentangled and (c.auto_res_weight > 0 or c.use_pfp):
+            if c.color_skip_type == "1x1":
+                color_emb = [
+                    skip(f, train=train) for skip, f in zip(self.color_skips, scene)
+                ]
+            else:
+                color_emb = [
+                    identity_partial(f, 2, use_right=True) if flag else f
+                    for f, flag in zip(scene, c.disentangle_layers)
+                ]
+            outputs["auto_res"] = self.color_decoder(color_emb, disps)
+
+        # ---- poses
+        pose_feats0 = None
+        if c.use_pfp and "auto_res" in outputs:
+            pose_feats0 = resize_bilinear(
+                outputs["auto_res"][0], c.pose_height, c.pose_width
+            )
+        outputs.update(self._predict_poses(inputs, pose_feats0))
+
+        # ---- extractor branch
+        features = None
+        if c.im_rot:
+            # rotation pretext (`mono_fm_joint_im_rot/net.py:41-49`): the
+            # extractor sees a rotated random crop; its features also feed the
+            # regularization loss.
+            from tripled_tpu.models.aux_nets import random_crop, random_rotate_batch
+
+            target = inputs["color"][:, 0]
+            crop, (ri, rj) = random_crop(
+                self.make_rng("crop"), target, c.pretext_resize
+            )
+            rotated, labels = random_rotate_batch(self.make_rng("rotation"), crop)
+            features = self.extractor(rotated, train=train)
+            logits = self.rot_head(jnp.mean(features[-1], axis=(1, 2)))
+            outputs["rot_predicts"] = logits
+            outputs["rot_gt"] = labels
+            outputs["crop_offset"] = (ri, rj)
+        elif c.use_extractor:
+            target = inputs["color"][:, 0]
+            if c.inpaint and "mask" in inputs:
+                ext_in = target * inputs["mask"]
+            else:
+                ext_in = target
+            features = self.extractor(ext_in, train=train)
+            if c.freeze_extractor:
+                features = [jax.lax.stop_gradient(f) for f in features]
+            if c.use_image_decoder and c.img_reconstruct_weight != 0:
+                outputs["res_imgs"] = self.image_decoder(features)
+
+        # ---- separate distill branches
+        if c.sep_colorize:
+            lab = rgb2lab(inputs["color"][:, 0])
+            gt_ab = lab[..., 1:]
+            gs = jnp.broadcast_to(lab[..., 0:1], lab.shape[:3] + (3,))
+            cond = depth_emb if c.cond_encoder else None
+            gs_emb = self.colorize_encoder(gs, cond, train=train)
+            outputs["sep_colorize"] = self.colorize_decoder(gs_emb, disps)
+            outputs["gt_ab"] = gt_ab
+        if c.sep_inpaint:
+            masked = inputs["color"][:, 0] * inputs["mask"]
+            cond = depth_emb if c.cond_encoder else None
+            inp_emb = self.inpaint_encoder(masked, cond, train=train)
+            outputs["sep_inpaint"] = self.inpaint_decoder(inp_emb, disps)
+
+        loss_dict = self._compute_losses(inputs, outputs, features, train)
+        return outputs, loss_dict
+
+    # ------------------------------------------------------------------ poses
+
+    def _pose_pair(self, a, b):
+        feats = self.pose_encoder(jnp.concatenate([a, b], axis=-1), train=True)
+        return self.pose_decoder(feats[-1]), feats[-1]
+
+    def _predict_poses(self, inputs, pose_feat_target=None):
+        """Per source frame: PoseEncoder on the (temporally ordered) frame
+        pair at the fixed pose resolution (`mono_fm_joint/net.py:164-179`)."""
+        c = self.cfg
+        ph, pw = c.pose_height, c.pose_width
+
+        def at_pose_res(x):
+            return resize_bilinear(x, ph, pw)
+
+        tgt = (
+            pose_feat_target
+            if pose_feat_target is not None
+            else at_pose_res(inputs["color_aug"][:, 0])
+        )
+
+        out: Dict[str, Any] = {"cam_T_cam": {}, "map_logits": {}}
+        for i, f_i in enumerate(c.frame_ids[1:], start=1):
+            if f_i == "s":
+                continue
+            src = at_pose_res(inputs["color_aug"][:, i])
+            tgt_i = tgt
+            if c.map_pose:
+                mm = at_pose_res(inputs["map_mask"][:, i - 1])
+                mp = inputs["map_params"][:, i - 1]
+                a1 = mp[:, 1].reshape(-1, 1, 1, 1)
+                a2 = mp[:, 2].reshape(-1, 1, 1, 1) if mp.shape[1] > 2 else a1
+                src = src * mm * a1 + src * (1 - mm)
+                tgt_i = tgt * mm * a2 + tgt * (1 - mm)
+            pair = (src, tgt_i) if f_i < 0 else (tgt_i, src)
+            (axisangle, translation), bottom = self._pose_pair(*pair)
+            T = transformation_from_parameters(
+                axisangle[:, 0], translation[:, 0], invert=(f_i < 0)
+            )
+            out["cam_T_cam"][i] = T
+            if c.map_pose:
+                pooled = jnp.mean(bottom, axis=(1, 2))
+                out["map_logits"][i] = self.pose_map_cls(pooled)
+        return out
+
+    # ------------------------------------------------------------------ warps
+
+    def _frame_T(self, inputs, outputs, i, f_i):
+        if f_i == "s":
+            return inputs["stereo_T"]
+        return outputs["cam_T_cam"][i]
+
+    def _warp_colors(self, inputs, outputs, disp):
+        """Backward-warp each source frame into the target view
+        (`mono_fm_joint/net.py:181-194`). Returns list over source frames."""
+        c = self.cfg
+        disp = resize_bilinear(disp, c.height, c.width)
+        _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
+        warped = []
+        for i, f_i in enumerate(c.frame_ids[1:], start=1):
+            T = self._frame_T(inputs, outputs, i, f_i)
+            coords = warp_coords(depth, inputs["inv_K"], inputs["K"], T)
+            warped.append(grid_sample(inputs["color"][:, i], coords))
+        return warped
+
+    def _warp_features(self, inputs, outputs, disp0, train):
+        """Warp extractor stage-0 features of each source frame at H/2
+        (`mono_fm_joint/net.py:196-223`)."""
+        c = self.cfg
+        h2, w2 = c.height // 2, c.width // 2
+        disp = resize_bilinear(disp0, h2, w2)
+        _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
+        K2 = scale_intrinsics(inputs["K"], 0.5, 0.5)
+        inv_K2 = invert_intrinsics(K2)
+        feats = []
+        for i, f_i in enumerate(c.frame_ids[1:], start=1):
+            T = self._frame_T(inputs, outputs, i, f_i)
+            coords = warp_coords(depth, inv_K2, K2, T)
+            src_f = self.extractor(inputs["color"][:, i], train=train)[0]
+            if c.freeze_extractor:
+                src_f = jax.lax.stop_gradient(src_f)
+            feats.append(grid_sample(src_f, coords))
+        return feats
+
+    def _warp_features_cropped(self, inputs, outputs, disp0, offset, train):
+        """im_rot perceptual branch: warp extractor features of the matching
+        random crop of each source frame (`im_rot/net.py:130-164`). The K/2
+        scaling without a crop-offset correction mirrors the reference."""
+        c = self.cfg
+        ri, rj = offset
+        size = c.pretext_resize
+        b = disp0.shape[0]
+        disp = resize_bilinear(disp0, c.height, c.width)
+        disp = jax.lax.dynamic_slice(disp, (0, ri, rj, 0), (b, size, size, 1))
+        disp = resize_bilinear(disp, size // 2, size // 2)
+        _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
+        K2 = scale_intrinsics(inputs["K"], 0.5, 0.5)
+        inv_K2 = invert_intrinsics(K2)
+        feats = []
+        for i, f_i in enumerate(c.frame_ids[1:], start=1):
+            T = self._frame_T(inputs, outputs, i, f_i)
+            coords = warp_coords(depth, inv_K2, K2, T)
+            src = jax.lax.dynamic_slice(
+                inputs["color"][:, i], (0, ri, rj, 0), (b, size, size, 3)
+            )
+            src_f = self.extractor(src, train=train)[0]
+            feats.append(grid_sample(src_f, coords))
+        return feats
+
+    # ------------------------------------------------------------------ losses
+
+    def _compute_losses(self, inputs, outputs, features, train):
+        c = self.cfg
+        n_scales = len(c.scales)
+        target = inputs["color"][:, 0]
+        mask = inputs.get("mask")
+        loss_dict: Dict[str, jnp.ndarray] = {}
+
+        # feature regularization (joint extractor only) — net.py:77-80
+        if features is not None and c.joint_extractor:
+            for i, f in enumerate(features):
+                loss_dict[f"feature_regularization_loss/{i}"] = (
+                    feature_regularization_loss(f, target, c.dis, c.cvt)
+                    / (2**i)
+                    / 5.0
+                )
+
+        # min perceptional loss — net.py:130-140 / inpaint net.py:59-70
+        if features is not None and c.perception_weight > 0:
+            if c.im_rot:
+                # crop-matched perceptual branch (`im_rot/net.py:109-164`)
+                ri, rj = outputs["crop_offset"]
+                b = target.shape[0]
+                tgt_crop = jax.lax.dynamic_slice(
+                    target, (0, ri, rj, 0), (b, c.pretext_resize, c.pretext_resize, 3)
+                )
+                tgt_f = self.extractor(tgt_crop, train=train)[0]
+                warped_feats = self._warp_features_cropped(
+                    inputs, outputs, outputs["disps"][0], (ri, rj), train
+                )
+            else:
+                tgt_f = features[0]
+                warped_feats = self._warp_features(
+                    inputs, outputs, outputs["disps"][0], train
+                )
+            percep = [perceptional_loss(tgt_f, sf) for sf in warped_feats]
+            min_percep = jnp.min(jnp.concatenate(percep, axis=-1), axis=-1)
+            loss_dict["min_perceptional_loss"] = (
+                c.perception_weight * min_percep.mean()
+            )
+
+        # rotation pretext CE — `im_rot/net.py:61`
+        if c.im_rot:
+            from tripled_tpu.models.aux_nets import _cross_entropy_with_batch_softmax
+
+            loss_dict["ssl_rot_loss"] = (
+                _cross_entropy_with_batch_softmax(
+                    outputs["rot_predicts"], outputs["rot_gt"]
+                )
+                * c.pretext_weight
+            )
+
+        # equivariant variant pre-computation
+        if c.equivariant:
+            eq = self._equivariant_outputs(inputs, outputs, train)
+        else:
+            eq = None
+
+        for s in c.scales:
+            disp = outputs["disps"][s]
+
+            # image reconstruction — joint net.py:94-98 / inpaint net.py:80-91
+            if "res_imgs" in outputs and c.img_reconstruct_weight != 0:
+                res = outputs["res_imgs"][s]
+                h, w = res.shape[1], res.shape[2]
+                tgt_r = resize_bilinear(target, h, w)
+                rec = reprojection_loss(res, tgt_r)
+                if c.inpaint and mask is not None:
+                    m_r = resize_bilinear(mask, h, w)
+                    rec = jnp.sum(rec * (1 - m_r)) / jnp.sum(1 - m_r)
+                else:
+                    rec = rec.mean()
+                loss_dict[f"img_reconstruct_loss/{s}"] = (
+                    rec / n_scales * c.img_reconstruct_weight
+                )
+
+            # photometric min-reprojection with automask — net.py:101-128
+            warped = self._warp_colors(inputs, outputs, disp)
+            preds = [reprojection_loss(p, target) for p in warped]
+            idents = []
+            if c.automask:
+                idents = [
+                    reprojection_loss(inputs["color"][:, i], target)
+                    for i in range(1, len(c.frame_ids))
+                ]
+            rng = self.make_rng("automask") if (c.automask and train) else None
+            min_rec = min_reprojection_with_automask(preds, idents, rng)
+            loss_dict[f"min_reconstruct_loss/{s}"] = min_rec.mean() / n_scales
+
+            # equivariant loss — mono_fm_joint_inpaint/net.py:750-767
+            if eq is not None:
+                eq_losses = []
+                for i in range(1, len(c.frame_ids)):
+                    res = eq["res_imgs"][i][s]
+                    h, w = res.shape[1], res.shape[2]
+                    tgt_r = resize_bilinear(inputs["color"][:, i], h, w)
+                    m_r = resize_bilinear(eq["masks"][i][s], h, w)
+                    l = reprojection_loss(res, tgt_r)
+                    eq_losses.append(jnp.sum(l * (1 - m_r)) / jnp.sum(1 - m_r))
+                min_eq = jnp.min(jnp.stack(eq_losses))
+                loss_dict[f"min_equivariant_loss/{s}"] = (
+                    c.equivariant_weight * min_eq / n_scales
+                )
+
+            # smoothness — net.py:145-153
+            if c.disp_norm:
+                mean_disp = disp.mean(axis=(1, 2), keepdims=True)
+                disp = disp / (mean_disp + 1e-7)
+            loss_dict[f"smooth_loss/{s}"] = (
+                c.smoothness_weight * smooth_loss(disp, target) / (2**s) / n_scales
+            )
+
+        # auto-res (disentangle) — inpaint net.py:520-527
+        if c.auto_res_weight > 0 and "auto_res" in outputs:
+            loss_dict["auto_res_loss"] = (
+                perceptional_loss(target, outputs["auto_res"][0]).mean()
+                * c.auto_res_weight
+            )
+
+        # grayscale distillation — inpaint net.py:158-183
+        if c.d2g_weight > 0:
+            loss_dict["depth_to_gray_loss"] = self._distill_gs_loss(
+                inputs, outputs, train
+            )
+
+        # colorization distillation — inpaint net.py:225-252
+        if c.colorize_weight > 0 and not c.sep_colorize:
+            loss_dict["colorize_loss"] = self._distill_colorize_loss(
+                inputs, outputs, train
+            )
+
+        # separate colorize / inpaint decoders — inpaint net.py:312-323,378-389
+        if c.sep_colorize and c.colorize_weight > 0:
+            l = perceptional_loss(outputs["gt_ab"], outputs["sep_colorize"][0])
+            if c.use_distill_mask and mask is not None:
+                l = jnp.sum(l * (1 - mask)) / jnp.sum(1 - mask)
+            else:
+                l = l.mean()
+            loss_dict["distill_colorize_loss"] = l * c.colorize_weight
+        if c.sep_inpaint and c.inpaint_weight > 0:
+            l = perceptional_loss(target, outputs["sep_inpaint"][0])
+            if c.use_distill_mask and mask is not None:
+                l = jnp.sum(l * (1 - mask)) / jnp.sum(1 - mask)
+            else:
+                l = l.mean()
+            loss_dict["distill_inpaint_loss"] = l * c.inpaint_weight
+
+        # map-pose classification — inpaint net.py:619-628
+        if c.map_pose and c.map_pose_weight > 0:
+            for i in range(1, len(c.frame_ids)):
+                if c.frame_ids[i] == "s":
+                    continue
+                logits = outputs["map_logits"][i]
+                labels = inputs["map_params"][:, i - 1, 0].astype(jnp.int32)
+                ce = -jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, axis=-1), labels[:, None], axis=-1
+                ).mean()
+                loss_dict[f"map_pose_loss/{i}"] = ce * c.map_pose_weight
+
+        return loss_dict
+
+    # ------------------------------------------------------------------ distill
+
+    def _full_res_disp(self, outputs):
+        c = self.cfg
+        return resize_bilinear(outputs["disps"][0], c.height, c.width)
+
+    def _surface_normal(self, disp):
+        """(normal+1)/2 from depth gradients (`inpaint net.py:149-156`)."""
+        c = self.cfg
+        _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
+        d = depth[..., 0]
+        dy, dx = jnp.gradient(d, axis=(1, 2))
+        normal = jnp.stack([-dx, -dy, jnp.ones_like(d)], axis=-1)
+        n = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        return (normal / n + 1.0) / 2.0
+
+    def _distill_gs_loss(self, inputs, outputs, train):
+        c = self.cfg
+        disp = self._full_res_disp(outputs)
+        if c.use_normal:
+            disp = self._surface_normal(disp)[..., :2]
+        target = inputs["color"][:, 0]
+        gt_gray = rgb_to_l(target) if c.use_lab else rgb_to_gray(target)
+        mask = inputs.get("mask")
+        if c.use_mask and mask is not None:
+            m = mask[..., :2] if c.use_normal else mask[..., :1]
+            pred = self.depth_to_gray(disp * m, train=train)
+            l = perceptional_loss(gt_gray, pred)
+            l = jnp.sum(l * (1 - m)) / jnp.sum(1 - m)
+        else:
+            pred = self.depth_to_gray(disp, train=train)
+            l = perceptional_loss(gt_gray, pred).mean()
+        return l * c.d2g_weight
+
+    def _distill_colorize_loss(self, inputs, outputs, train):
+        c = self.cfg
+        disp = self._full_res_disp(outputs)
+        if c.use_normal:
+            disp = jnp.concatenate([disp, self._surface_normal(disp)[..., :2]], -1)
+        target = inputs["color"][:, 0]
+        lab = rgb2lab(target)
+        gt_ab = lab[..., 1:]
+        net_in = jnp.concatenate([disp, lab[..., 0:1]], axis=-1)
+        mask = inputs.get("mask")
+        if c.use_mask and mask is not None:
+            m = mask[..., :1]
+            if c.use_normal:
+                m = jnp.broadcast_to(m, net_in.shape)
+            pred = self.colorize_net(net_in * m, train=train)
+            l = perceptional_loss(gt_ab, pred)
+            l = jnp.sum(l * (1 - m[..., :1])) / jnp.sum(1 - m[..., :1])
+        else:
+            pred = self.colorize_net(net_in, train=train)
+            l = perceptional_loss(gt_ab, pred).mean()
+        return l * c.colorize_weight
+
+    # ------------------------------------------------------------------ equivariant
+
+    def _equivariant_outputs(self, inputs, outputs, train):
+        """Warp the erase mask & all extractor stages into each source frame,
+        decode res_imgs from the warped features
+        (`mono_fm_joint_inpaint/net.py:636-688`)."""
+        c = self.cfg
+        mask = inputs["mask"]
+        disp0 = outputs["disps"][0]
+        res_imgs: Dict[int, List[jnp.ndarray]] = {}
+        masks: Dict[int, List[jnp.ndarray]] = {}
+        for i, f_i in enumerate(c.frame_ids[1:], start=1):
+            T = self._frame_T(inputs, outputs, i, f_i)
+            # mask warp keeps the reference's swapped (K, inv_K) order
+            per_scale_masks = []
+            for s in c.scales:
+                disp = resize_bilinear(outputs["disps"][s], c.height, c.width)
+                _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
+                coords = warp_coords(depth, inputs["K"], inputs["inv_K"], T)
+                per_scale_masks.append(grid_sample(mask, coords, method="nearest"))
+            masks[i] = per_scale_masks
+
+            src_feats = self.extractor(inputs["color"][:, i], train=train)
+            warped_stages = []
+            for src_f in src_feats:
+                fh, fw = src_f.shape[1], src_f.shape[2]
+                d = resize_bilinear(disp0, fh, fw)
+                _, depth = disp_to_depth(d, c.min_depth, c.max_depth)
+                sx = 1.0 / (c.width // fw)
+                sy = 1.0 / (c.height // fh)
+                Kf = scale_intrinsics(inputs["K"], sx, sy)
+                coords = warp_coords(depth, invert_intrinsics(Kf), Kf, T)
+                warped_stages.append(grid_sample(src_f, coords))
+            res_imgs[i] = self.image_decoder(warped_stages)
+        return {"res_imgs": res_imgs, "masks": masks}
