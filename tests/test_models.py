@@ -132,8 +132,14 @@ def test_variant_train_and_eval(name, rng_np):
         assert arr.shape == (), f"{name}: loss {k} not scalar"
         assert np.isfinite(arr), f"{name}: loss {k} not finite: {arr}"
 
-    # eval mode
-    eval_out = model.apply(variables, inputs, train=False)
+    # eval mode (rotnet still draws its pretext crop/rotation at eval,
+    # like the reference's rotation() call in forward)
+    eval_rngs = (
+        {"crop": jax.random.PRNGKey(5), "rotation": jax.random.PRNGKey(6)}
+        if name == "rotnet"
+        else None
+    )
+    eval_out = model.apply(variables, inputs, train=False, rngs=eval_rngs)
     if name in ("autoencoder", "inpainter"):
         assert eval_out[0].shape == (B, H, W, 3)
     elif name == "rotnet":

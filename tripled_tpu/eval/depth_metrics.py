@@ -77,7 +77,7 @@ def evaluate_depth_predictions(
     """Run the Eigen protocol; returns (mean 7-metrics, ratio median, ratio std)."""
     errors, ratios = [], []
     for pred_disp, gt_depth in zip(pred_disps, gt_depths):
-        gt_depth = np.asarray(gt_depth)
+        gt_depth = np.asarray(gt_depth, np.float64)
         gh, gw = gt_depth.shape[:2]
         disp = _resize_bilinear_np(np.asarray(pred_disp), gh, gw)
         pred_depth = 1.0 / np.maximum(disp, 1e-12)

@@ -24,7 +24,7 @@ def _box3(x: jnp.ndarray) -> jnp.ndarray:
     """3×3 mean over valid windows of an NHWC tensor (already padded)."""
     s = lax.reduce_window(
         x,
-        jnp.array(0, x.dtype),
+        0.0,
         lax.add,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 1, 1, 1),

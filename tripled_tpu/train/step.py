@@ -1,0 +1,80 @@
+"""Jitted train / predict steps with mesh data parallelism.
+
+Replaces `batch_processor` + `DistOptimizerHook.after_train_iter`
+(`mono/apis/trainer.py:30-60`, `mono/core/utils/dist_utils.py:47-60`):
+loss = Σ mean(loss_dict values) → grads → (XLA-inserted) cross-chip reduce →
+global-norm clip (inside optax chain) → Adam update. The whole step is one
+compiled program; there is no separate gradient-sync hook to schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tripled_tpu.train.state import TrainState
+
+
+def make_train_step(model, tx, donate: bool = True) -> Callable:
+    def train_step(state: TrainState, batch, rng):
+        rngs = dict(
+            zip(
+                ("dropout", "automask", "crop", "rotation"),
+                jax.random.split(rng, 4),
+            )
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (outputs, loss_dict), mutated = model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            total = sum(jnp.asarray(v) for v in loss_dict.values())
+            return total, (loss_dict, mutated.get("batch_stats", {}))
+
+        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(loss_dict)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_predict_fn(model) -> Callable:
+    """Batched eval-mode disparity prediction: images (B, 1, H, W, 3) →
+    scale-0 disparity (B, h, w, 1)."""
+
+    @jax.jit
+    def predict(variables, images):
+        disps = model.apply(variables, {"color_aug": images, "color": images},
+                            train=False)
+        return disps[0]
+
+    return predict
