@@ -1,0 +1,9 @@
+"""ab-colorization distillation head, 5e-3 (ref cfg)."""
+from _common import kitti_experiment
+
+config = kitti_experiment(
+    "mono_fm_joint_inpaint_distill_colorize", depth_layers=50,
+    height=192, width=640, dataset="kitti_inpaint", erase_count=16,
+    dis=1e-3, cvt=1e-3, perception_weight=0.0, smoothness_weight=1e-3,
+    colorize_weight=5e-3, use_normal=False, use_mask=False,
+)

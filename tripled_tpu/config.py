@@ -159,10 +159,17 @@ class ExperimentConfig:
 def load_config(path: str) -> ExperimentConfig:
     """Execute a python config file that defines `config: ExperimentConfig`."""
     import importlib.util
+    import os
+    import sys
 
+    cfg_dir = os.path.dirname(os.path.abspath(path))
     spec = importlib.util.spec_from_file_location("_experiment_config", path)
     mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    sys.path.insert(0, cfg_dir)  # allow `from _common import ...` siblings
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(cfg_dir)
     cfg = getattr(mod, "config")
     assert isinstance(cfg, ExperimentConfig), f"{path} must define `config`"
     return cfg

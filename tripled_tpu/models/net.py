@@ -292,6 +292,14 @@ class TripleDNet(nn.Module):
 
     # ------------------------------------------------------------------ poses
 
+    def predict_pose(self, img_pair, train: bool = False):
+        """Standalone pose inference for odometry eval: img_pair is the
+        channel-concatenated (prev, cur) frames (B, H, W, 6); returns
+        (axisangle (B,1,1,3), translation (B,1,1,3)) — the
+        `scripts/eval_pose.py:55-62` path."""
+        feats = self.pose_encoder(img_pair, train=train)
+        return self.pose_decoder(feats[-1])
+
     def _pose_pair(self, a, b):
         feats = self.pose_encoder(jnp.concatenate([a, b], axis=-1), train=True)
         return self.pose_decoder(feats[-1]), feats[-1]

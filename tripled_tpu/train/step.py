@@ -69,12 +69,17 @@ def optax_global_norm(tree):
 
 def make_predict_fn(model) -> Callable:
     """Batched eval-mode disparity prediction: images (B, 1, H, W, 3) →
-    scale-0 disparity (B, h, w, 1)."""
+    scale-0 *scaled* disparity (B, h, w, 1), i.e. disp_to_depth's scaled_disp
+    — what `scripts/eval_depth.py:58-61` collects (depth = 1/scaled_disp)."""
+    from tripled_tpu.ops import disp_to_depth
+
+    cfg = model.cfg
 
     @jax.jit
     def predict(variables, images):
         disps = model.apply(variables, {"color_aug": images, "color": images},
                             train=False)
-        return disps[0]
+        scaled, _ = disp_to_depth(disps[0], cfg.min_depth, cfg.max_depth)
+        return scaled
 
     return predict
