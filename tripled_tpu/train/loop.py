@@ -93,6 +93,12 @@ def train_mono(
             stereo_scale=cfg.data.stereo_scale,
         )
 
+    from tripled_tpu.utils.logging import MetricLogger
+
+    mlogger = (
+        MetricLogger(cfg.work_dir) if jax.process_index() == 0 else None
+    )
+
     metrics_history = []
     for epoch in range(start_epoch, cfg.optim.total_epochs):
         loader.set_epoch(epoch)
@@ -113,6 +119,8 @@ def train_mono(
                     "epoch %d iter %d/%d lr %.2e loss %.4f",
                     epoch, it, steps_per_epoch, lr, m["loss"],
                 )
+                if mlogger is not None:
+                    mlogger.log(int(state.step), {**m, "lr": lr}, prefix="train/")
         dt = time.perf_counter() - t_epoch
         log.info(
             "epoch %d done in %.1fs (%.2f imgs/s)", epoch, dt, n_imgs / max(dt, 1e-9)
@@ -130,5 +138,9 @@ def train_mono(
                                              eval_metrics.items()),
                 epoch + 1,
             )
+            if mlogger is not None:
+                mlogger.log(int(state.step), eval_metrics, prefix="val/")
 
+    if mlogger is not None:
+        mlogger.close()
     return state, metrics_history
