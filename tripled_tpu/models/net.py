@@ -120,8 +120,16 @@ class TripleDNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.depth_encoder = DepthEncoder(c.depth_num_layers)
-        enc_ch = stage_channels(c.depth_num_layers)
+        if c.use_diffnet:
+            from tripled_tpu.models.hrnet import HRNetFeatures
+
+            # DIFFNet feeds the HRNet raw [0,1] images (no 0.45/0.225 norm —
+            # diffnet_encoder.py has no normalization, unlike depth_encoder.py)
+            self.depth_encoder = HRNetFeatures(c.depth_num_layers)
+            enc_ch = self.depth_encoder.num_ch_enc
+        else:
+            self.depth_encoder = DepthEncoder(c.depth_num_layers)
+            enc_ch = stage_channels(c.depth_num_layers)
 
         self._disentangled = any(c.disentangle_layers)
         # depth skip layers
@@ -142,9 +150,18 @@ class TripleDNet(nn.Module):
                 skips.append(_SkipSplit(ch, attention=att, full_1x1=full_1x1))
                 depth_ch.append(ch)
         self.depth_skips = skips
-        self.depth_decoder = DepthDecoder(
-            tuple(depth_ch), use_shuffle=c.depth_use_shuffle
-        )
+        if c.use_diffnet:
+            from tripled_tpu.models.hr_decoders import DIFFDepthDecoder
+
+            self.depth_decoder = DIFFDepthDecoder(tuple(depth_ch))
+        elif c.use_hr_depth:
+            from tripled_tpu.models.hr_decoders import HRDepthDecoder
+
+            self.depth_decoder = HRDepthDecoder(tuple(depth_ch))
+        else:
+            self.depth_decoder = DepthDecoder(
+                tuple(depth_ch), use_shuffle=c.depth_use_shuffle
+            )
 
         self.pose_encoder = PoseEncoder(c.pose_num_layers, 2)
         self.pose_decoder = PoseDecoder()
