@@ -1,0 +1,163 @@
+"""PyTorch-checkpoint → flax parameter import.
+
+The reference saves `{'state_dict': ...}` with submodule-name prefixes
+(`DepthEncoder.*`, `PoseEncoder.*`, ... — SURVEY §5 checkpoint format). This
+module converts those tensors into our flax trees so reference-trained
+weights can be loaded for bit-parity validation and finetuning.
+
+Both the reference's torchvision-style ResNet and our `ResNetFeatures`
+create conv/bn layers in the same order (stem conv1/bn1, then per block
+conv1,bn1,conv2,bn2[,conv3,bn3][,downsample conv,bn]), so an ordered zip of
+the torch layer stream against the known flax module layout is a faithful
+mapping.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def filter_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Select keys under `prefix.` and strip it (insertion order preserved)."""
+    plen = len(prefix) + 1
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+def _torch_layers_in_order(sd: Dict[str, np.ndarray]):
+    """Group a (prefix-filtered, insertion-ordered) torch state_dict into an
+    ordered stream of ('conv', entry) / ('bn', entry) / ('linear', entry)."""
+    grouped: Dict[str, dict] = {}
+    order: List[str] = []
+    for k in sd:
+        base, leaf = k.rsplit(".", 1)
+        if base not in grouped:
+            order.append(base)
+            grouped[base] = {}
+        grouped[base][leaf] = sd[k]
+    layers = []
+    for base in order:
+        e = grouped[base]
+        if "running_mean" in e:
+            layers.append(("bn", e))
+        elif "weight" in e and e["weight"].ndim == 4:
+            layers.append(("conv", e))
+        elif "weight" in e and e["weight"].ndim == 2:
+            layers.append(("linear", e))
+    return layers
+
+
+def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _natkey(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def _resnet_flax_slots(params: dict, stats: dict):
+    """Conv/BN slot paths of a `ResNetFeatures` tree in creation order:
+    stem (top-level Conv_0/BatchNorm_0), then BasicBlock_i / Bottleneck_i
+    ascending, each with its Conv_j/BatchNorm_j ascending."""
+    conv_paths, bn_paths = [], []
+
+    def block_names(tree):
+        names = [
+            k for k in tree
+            if k.startswith("BasicBlock_") or k.startswith("Bottleneck_")
+        ]
+        return sorted(names, key=_natkey)
+
+    conv_paths.append(("Conv_0", "kernel"))
+    bn_paths.append(("BatchNorm_0",))
+    for blk in block_names(params):
+        sub = params[blk]
+        n_convs = len([k for k in sub if k.startswith("Conv_")])
+        for j in range(n_convs):
+            conv_paths.append((blk, f"Conv_{j}", "kernel"))
+            bn_paths.append((blk, f"BatchNorm_{j}"))
+    return conv_paths, bn_paths
+
+
+def _get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    expected = np.asarray(node[path[-1]]).shape
+    if tuple(value.shape) != tuple(expected):
+        raise ValueError(f"shape mismatch at {path}: {value.shape} vs {expected}")
+    node[path[-1]] = value.astype(np.asarray(node[path[-1]]).dtype)
+
+
+def import_resnet(
+    torch_sd: Dict[str, np.ndarray],
+    flax_params: dict,
+    flax_batch_stats: dict,
+) -> Tuple[dict, dict]:
+    """Fill a `ResNetFeatures` (params, batch_stats) pair from a torch resnet
+    state_dict (prefix-stripped, e.g. `filter_prefix(sd, 'DepthEncoder.encoder')`).
+    The torch `fc` head, absent from our feature extractor, is ignored."""
+    import jax
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+
+    layers = _torch_layers_in_order(torch_sd)
+    convs = [e for t, e in layers if t == "conv"]
+    bns = [e for t, e in layers if t == "bn"]
+
+    conv_paths, bn_paths = _resnet_flax_slots(params, stats)
+    if len(convs) != len(conv_paths) or len(bns) != len(bn_paths):
+        raise ValueError(
+            f"layer-count mismatch: torch {len(convs)} convs / {len(bns)} bns "
+            f"vs flax {len(conv_paths)} / {len(bn_paths)}"
+        )
+
+    for path, e in zip(conv_paths, convs):
+        _set(params, path, _conv_to_hwio(e["weight"]))
+    for path, e in zip(bn_paths, bns):
+        _set(params, path + ("scale",), e["weight"])
+        _set(params, path + ("bias",), e["bias"])
+        _set(stats, path + ("mean",), e["running_mean"])
+        _set(stats, path + ("var",), e["running_var"])
+    return params, stats
+
+
+def import_depth_encoder(ckpt_path_or_sd, encoder_variables, prefix="DepthEncoder"):
+    """Import a reference `DepthEncoder.encoder.*` into our DepthEncoder
+    variables ({'params': {'ResNetFeatures_0': ...}, 'batch_stats': ...})."""
+    sd = (
+        load_torch_state_dict(ckpt_path_or_sd)
+        if isinstance(ckpt_path_or_sd, str)
+        else ckpt_path_or_sd
+    )
+    sub = filter_prefix(sd, f"{prefix}.encoder") or filter_prefix(sd, "encoder") or sd
+    params = copy.deepcopy(
+        {k: v for k, v in encoder_variables["params"].items()}
+    )
+    stats = copy.deepcopy(
+        {k: v for k, v in encoder_variables["batch_stats"].items()}
+    )
+    key = next(iter(params))  # 'ResNetFeatures_0'
+    p, s = import_resnet(sub, params[key], stats[key])
+    params[key] = p
+    stats[key] = s
+    return {"params": params, "batch_stats": stats}
