@@ -93,8 +93,13 @@ class ModelConfig:
     use_diffnet: bool = False
     depth_use_shuffle: bool = False
 
-    # numerics
+    # numerics / kernels
     compute_dtype: str = "float32"     # 'bfloat16' for mixed-precision conv path
+    # fused Pallas photometric min-reprojection kernel (TPU only). Skips the
+    # reference's 1e-5 gaussian tie-break noise on identity losses: exact
+    # ties deterministically keep the identity candidate instead, which
+    # serves the same automasking purpose.
+    use_pallas_photometric: bool = False
 
     @property
     def num_frames(self) -> int:

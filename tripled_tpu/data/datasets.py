@@ -306,6 +306,51 @@ class FolderDataset(MonoDataset):
         return frames, None
 
 
+class CityscapeDataset(MonoDataset):
+    """Cityscapes frame-sequence dataset backed by an LMDB store with a
+    pickled key cache (`mono/datasets/cityscape_dataset.py:194-260`).
+    Requires the optional `lmdb` package."""
+
+    K_norm = np.array(
+        [[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        try:
+            import lmdb  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "CityscapeDataset needs the optional `lmdb` package"
+            ) from e
+        self._env = None
+
+    def _db(self):
+        import lmdb
+
+        if self._env is None:
+            self._env = lmdb.open(
+                self.data_path, readonly=True, lock=False, readahead=False
+            )
+        return self._env
+
+    def get_color(self, folder, frame_index, side, do_flip):
+        import io
+
+        from PIL import Image
+
+        key = f"{folder}_{frame_index:06d}".encode()
+        with self._db().begin() as txn:
+            buf = txn.get(key)
+        if buf is None:
+            raise KeyError(key)
+        img = Image.open(io.BytesIO(buf)).convert("RGB")
+        if do_flip:
+            img = img.transpose(0)
+        return img
+
+
 class ETH3DDataset(FolderDataset):
     K_norm = np.array(
         [[0.9832, 0, 0.5, 0], [0, 1.736, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],

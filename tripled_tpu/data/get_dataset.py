@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from tripled_tpu.config import DataConfig
 from tripled_tpu.data.datasets import (
+    CityscapeDataset,
     ETH3DDataset,
     EuRoCDataset,
     FolderDataset,
@@ -21,6 +22,7 @@ _DATASETS = {
     "kitti_map": KITTIMapDataset,
     "kitti_odom": KITTIOdomDataset,
     "kitti_depth": KITTIDepthDataset,
+    "cityscape": CityscapeDataset,
     "folder": FolderDataset,
     "eth3d": ETH3DDataset,
     "euroc": EuRoCDataset,

@@ -503,15 +503,34 @@ class TripleDNet(nn.Module):
 
             # photometric min-reprojection with automask — net.py:101-128
             warped = self._warp_colors(inputs, outputs, disp)
-            preds = [reprojection_loss(p, target) for p in warped]
-            idents = []
-            if c.automask:
-                idents = [
-                    reprojection_loss(inputs["color"][:, i], target)
-                    for i in range(1, len(c.frame_ids))
-                ]
-            rng = self.make_rng("automask") if (c.automask and train) else None
-            min_rec = min_reprojection_with_automask(preds, idents, rng)
+            if c.use_pallas_photometric and jax.default_backend() == "tpu":
+                # fused Pallas kernel over all candidate images; exact ties
+                # resolve to the identity candidates (listed first), which
+                # replaces the reference's 1e-5 tie-break noise
+                cand_imgs = []
+                if c.automask:
+                    cand_imgs += [
+                        inputs["color"][:, i]
+                        for i in range(1, len(c.frame_ids))
+                    ]
+                cand_imgs += warped
+                from tripled_tpu.ops.pallas import fused_min_reprojection
+
+                min_rec, _ = fused_min_reprojection(
+                    target, jnp.stack(cand_imgs, axis=1)
+                )
+            else:
+                preds = [reprojection_loss(p, target) for p in warped]
+                idents = []
+                if c.automask:
+                    idents = [
+                        reprojection_loss(inputs["color"][:, i], target)
+                        for i in range(1, len(c.frame_ids))
+                    ]
+                rng = (
+                    self.make_rng("automask") if (c.automask and train) else None
+                )
+                min_rec = min_reprojection_with_automask(preds, idents, rng)
             loss_dict[f"min_reconstruct_loss/{s}"] = min_rec.mean() / n_scales
 
             # equivariant loss — mono_fm_joint_inpaint/net.py:750-767
