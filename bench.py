@@ -38,7 +38,7 @@ def _build(batch, height, width):
         height=height,
         width=width,
         perception_weight=1e-3,
-        use_pallas_photometric=os.environ.get("BENCH_PALLAS", "1") == "1",
+        use_pallas_photometric=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
     model = build_model(cfg)
     tx, _ = make_optimizer(OptimConfig(warmup_iters=2), steps_per_epoch=100)

@@ -24,6 +24,13 @@ Backward: custom VJP. d(min_k loss_k) flows only through the argmin
 candidate, so the backward pass masks each candidate's cotangent with
 (argmin == k) and reuses the (XLA-differentiated) per-candidate loss — no
 K-way forward re-materialization.
+
+Measured on a v5e chip (bs12 @192×640, K=4, f32): forward 2.19 ms vs 2.87 ms
+for the XLA path (1.31×). End-to-end in the mono_fm train step the XLA path
+currently wins (1710 vs 1470 imgs/s) because the custom-VJP backward
+recomputes per-candidate SSIM chains and the planar-layout transposes add
+HBM traffic — so `ModelConfig.use_pallas_photometric` defaults to False; a
+hand-written backward kernel is the next step to flip the sign.
 """
 
 from __future__ import annotations
