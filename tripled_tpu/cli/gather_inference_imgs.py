@@ -39,9 +39,11 @@ def main():
         vmax = np.percentile(disp, 95)
         norm = np.clip(disp / max(vmax, 1e-9), 0, 1)
         try:
-            import matplotlib.cm as cm
+            import matplotlib
 
-            return (cm.get_cmap("magma")(norm)[..., :3] * 255).astype(np.uint8)
+            return (matplotlib.colormaps["magma"](norm)[..., :3] * 255).astype(
+                np.uint8
+            )
         except Exception:
             return np.stack([(norm * 255).astype(np.uint8)] * 3, -1)
 

@@ -80,7 +80,9 @@ def _save_disp_png(disp, path):
     try:
         import matplotlib.cm as cm
 
-        rgba = cm.get_cmap("magma")(norm)
+        import matplotlib
+
+        rgba = matplotlib.colormaps["magma"](norm)
         img = (rgba[..., :3] * 255).astype(np.uint8)
     except Exception:
         img = (norm * 255).astype(np.uint8)

@@ -22,14 +22,17 @@ class MetricLogger:
         os.makedirs(work_dir, exist_ok=True)
         self._jsonl = open(os.path.join(work_dir, f"{filename}.jsonl"), "a")
         self._tb = None
-        try:
-            from flax.metrics import tensorboard  # optional
+        # flax's SummaryWriter imports TensorFlow — a heavy dependency to
+        # drag into every run, so TensorBoard mirroring is opt-in.
+        if os.environ.get("TRIPLED_TENSORBOARD", "0") == "1":
+            try:
+                from flax.metrics import tensorboard  # optional
 
-            self._tb = tensorboard.SummaryWriter(
-                os.path.join(work_dir, "tb")
-            )
-        except Exception:
-            self._tb = None
+                self._tb = tensorboard.SummaryWriter(
+                    os.path.join(work_dir, "tb")
+                )
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, metrics: Mapping[str, float], prefix: str = ""):
         row = {"step": int(step), "time": time.time()}
