@@ -100,6 +100,9 @@ def bench_infer(height=192, width=640, steps=50):
 
 
 def main():
+    from tripled_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "train")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     batch = int(os.environ.get("BENCH_BATCH", "12"))

@@ -16,6 +16,10 @@ STEREO_SCALE_FACTOR = 36.0
 def load_depth_model(config_path: str, checkpoint_path: str):
     import jax
 
+    from tripled_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tripled_tpu.config import load_config
     from tripled_tpu.models.registry import build_model
     from tripled_tpu.train import checkpoint as ckpt

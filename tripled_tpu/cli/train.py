@@ -29,6 +29,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from tripled_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from tripled_tpu.config import dump_config, load_config
     from tripled_tpu.data.get_dataset import get_dataset
     from tripled_tpu.train.loop import get_root_logger, train_mono

@@ -100,6 +100,9 @@ class ModelConfig:
     # ties deterministically keep the identity candidate instead, which
     # serves the same automasking purpose.
     use_pallas_photometric: bool = False
+    # rematerialize encoder activations in the backward pass — trades ~30%
+    # extra FLOPs for the memory to fit bs≥3 at 320×1024 (SURVEY §7 hard parts)
+    remat: bool = False
 
     @property
     def num_frames(self) -> int:

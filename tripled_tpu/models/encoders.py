@@ -20,10 +20,20 @@ def _norm(x: jnp.ndarray) -> jnp.ndarray:
     return (x - 0.45) / 0.225
 
 
+def _resnet(num_layers: int, remat: bool, in_channels: int = 3):
+    """ResNetFeatures, optionally with activation rematerialization
+    (gradient checkpointing) for the memory-heavy 320×1024 configs."""
+    if remat:
+        cls = nn.remat(ResNetFeatures, static_argnums=(3,))
+        return cls(num_layers, in_channels=in_channels)
+    return ResNetFeatures(num_layers, in_channels=in_channels)
+
+
 class DepthEncoder(nn.Module):
     """ResNet feature-pyramid encoder for the depth net."""
 
     num_layers: int = 18
+    remat: bool = False
 
     @property
     def num_ch_enc(self):
@@ -31,7 +41,7 @@ class DepthEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return ResNetFeatures(self.num_layers)(_norm(x), train=train)
+        return _resnet(self.num_layers, self.remat)(_norm(x), None, train)
 
 
 class PoseEncoder(nn.Module):
@@ -39,6 +49,7 @@ class PoseEncoder(nn.Module):
 
     num_layers: int = 18
     num_input_images: int = 2
+    remat: bool = False
 
     @property
     def num_ch_enc(self):
@@ -46,9 +57,9 @@ class PoseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return ResNetFeatures(
-            self.num_layers, in_channels=3 * self.num_input_images
-        )(_norm(x), train=train)
+        return _resnet(
+            self.num_layers, self.remat, in_channels=3 * self.num_input_images
+        )(_norm(x), None, train)
 
 
 class Extractor(nn.Module):
@@ -57,6 +68,7 @@ class Extractor(nn.Module):
     feeds this *unnormalized* [0,1] images (`mono_fm_joint/net.py:53`)."""
 
     num_layers: int = 50
+    remat: bool = False
 
     @property
     def num_ch_enc(self):
@@ -69,4 +81,4 @@ class Extractor(nn.Module):
         cond_features: Sequence[jnp.ndarray] | None = None,
         train: bool = True,
     ):
-        return ResNetFeatures(self.num_layers)(x, cond_features, train=train)
+        return _resnet(self.num_layers, self.remat)(x, cond_features, train)

@@ -128,7 +128,7 @@ class TripleDNet(nn.Module):
             self.depth_encoder = HRNetFeatures(c.depth_num_layers)
             enc_ch = self.depth_encoder.num_ch_enc
         else:
-            self.depth_encoder = DepthEncoder(c.depth_num_layers)
+            self.depth_encoder = DepthEncoder(c.depth_num_layers, remat=c.remat)
             enc_ch = stage_channels(c.depth_num_layers)
 
         self._disentangled = any(c.disentangle_layers)
@@ -163,11 +163,11 @@ class TripleDNet(nn.Module):
                 tuple(depth_ch), use_shuffle=c.depth_use_shuffle
             )
 
-        self.pose_encoder = PoseEncoder(c.pose_num_layers, 2)
+        self.pose_encoder = PoseEncoder(c.pose_num_layers, 2, remat=c.remat)
         self.pose_decoder = PoseDecoder()
 
         if c.use_extractor:
-            self.extractor = Extractor(c.extractor_num_layers)
+            self.extractor = Extractor(c.extractor_num_layers, remat=c.remat)
         if c.use_image_decoder:
             self.image_decoder = ImageDecoder(3)
 
