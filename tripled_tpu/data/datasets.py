@@ -73,6 +73,14 @@ class MonoDataset:
         self.is_train = is_train
         self.img_ext = img_ext
         self.jitter = ColorJitter()
+        # native C++ decode+resize fast path (fused Lanczos, threaded batch);
+        # falls back to PIL when the toolchain/libs are absent or per-image
+        # decode fails. Disable with TRIPLED_NATIVE_LOADER=0.
+        self.use_native = os.environ.get("TRIPLED_NATIVE_LOADER", "1") == "1"
+        if self.use_native:
+            from tripled_tpu.data import native_loader
+
+            self.use_native = native_loader.available()
         self.gt_depths = None
         if not is_train and gt_depth_path:
             self.gt_depths = np.load(
@@ -102,19 +110,38 @@ class MonoDataset:
         side = line[2] if len(line) == 3 else None
         return folder, frame_index, side
 
+    def _load_resized(self, folder, frame_index, side, do_flip) -> np.ndarray:
+        """One frame → float32 (H, W, 3) in [0,1], resized + optionally
+        flipped; native fused path with PIL fallback."""
+        if self.use_native:
+            from tripled_tpu.data import native_loader
+
+            try:
+                return native_loader.load_image(
+                    self.get_image_path(folder, frame_index, side),
+                    self.height, self.width, flip=do_flip,
+                )
+            except Exception:
+                pass
+        img = self.get_color(folder, frame_index, side, do_flip)
+        return to_float(resize_antialias(img, self.height, self.width))
+
     def load_frames(self, index, do_flip):
         folder, frame_index, side = self.parse_line(index)
         frames = []
         for i in self.frame_ids:
             if i == "s":
                 other = {"r": "l", "l": "r"}[side]
-                img = self.get_color(folder, frame_index, other, do_flip)
+                frames.append(self._load_resized(folder, frame_index, other, do_flip))
             else:
                 try:
-                    img = self.get_color(folder, frame_index + i, side, do_flip)
+                    frames.append(
+                        self._load_resized(folder, frame_index + i, side, do_flip)
+                    )
                 except Exception:
-                    img = self.get_color(folder, frame_index, side, do_flip)
-            frames.append(resize_antialias(img, self.height, self.width))
+                    frames.append(
+                        self._load_resized(folder, frame_index, side, do_flip)
+                    )
         return frames, side
 
     def sample(self, index: int, rng: np.random.RandomState) -> dict:
@@ -122,7 +149,7 @@ class MonoDataset:
         do_flip = self.is_train and rng.rand() > 0.5
 
         frames, side = self.load_frames(index, do_flip)
-        colors = np.stack([to_float(f) for f in frames])  # (F, H, W, 3)
+        colors = np.stack(frames)  # (F, H, W, 3) float32 [0,1]
         if do_color_aug:
             aug = self.jitter.sample(rng)
             color_aug = np.stack([aug(c) for c in colors])
@@ -301,8 +328,7 @@ class FolderDataset(MonoDataset):
         frames = []
         for i in self.frame_ids:
             j = min(max(index + (i if i != "s" else 0), 0), len(self.filenames) - 1)
-            img = self.get_color(None, j, None, do_flip)
-            frames.append(resize_antialias(img, self.height, self.width))
+            frames.append(self._load_resized(None, j, None, do_flip))
         return frames, None
 
 
