@@ -1,0 +1,37 @@
+"""Optimizer/schedule semantics vs mmcv's StepLrUpdaterHook + linear warmup."""
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tripled_tpu.config import OptimConfig
+from tripled_tpu.train.optim import make_lr_schedule, make_optimizer
+
+
+def test_warmup_and_steps():
+    cfg = OptimConfig(
+        learning_rate=1e-4, warmup_iters=500, warmup_ratio=1 / 3,
+        lr_steps=(20, 30), lr_gamma=0.5, total_epochs=40,
+    )
+    spe = 100  # steps per epoch
+    sched = make_lr_schedule(cfg, spe)
+    # mmcv linear warmup: lr(0) = base*ratio, lr(W) = base
+    np.testing.assert_allclose(float(sched(0)), 1e-4 / 3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(250)), 1e-4 * (1 - 0.5 * 2 / 3), rtol=1e-5)
+    np.testing.assert_allclose(float(sched(500)), 1e-4, rtol=1e-6)
+    # step decay at epoch milestones
+    np.testing.assert_allclose(float(sched(19 * spe)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(20 * spe)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(30 * spe)), 2.5e-5, rtol=1e-6)
+
+
+def test_grad_clip_global_norm():
+    cfg = OptimConfig(grad_clip_norm=1.0, warmup_iters=1)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    big = {"w": jnp.asarray([30.0, 40.0, 0.0])}  # norm 50 -> clipped to 1
+    updates, _ = tx.update(big, state, params)
+    # after clip, Adam normalizes: update magnitude bounded by lr
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+    assert np.abs(np.asarray(updates["w"])).max() <= cfg.learning_rate * 1.01

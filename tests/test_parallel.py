@@ -1,0 +1,54 @@
+"""Data-parallel correctness: an 8-device sharded train step must produce
+the same parameters as the single-device step on the same global batch —
+the gradient-sync equivalence the reference's DistOptimizerHook provided."""
+
+import jax
+import numpy as np
+
+from tripled_tpu.config import ModelConfig, OptimConfig
+from tripled_tpu.models.registry import build_model
+from tripled_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from tripled_tpu.train.optim import make_optimizer
+from tripled_tpu.train.state import create_train_state
+from tripled_tpu.train.step import make_train_step
+from tripled_tpu.utils.inputs import dummy_train_inputs
+
+
+def test_sharded_step_matches_single_device():
+    assert jax.device_count() == 8
+    cfg = ModelConfig(
+        name="mono_baseline", depth_num_layers=18, pose_num_layers=18,
+        height=96, width=128, pose_height=96, pose_width=128,
+        automask=False,  # keep the step RNG-free for exact comparison
+    )
+    model = build_model(cfg)
+    tx, _ = make_optimizer(OptimConfig(warmup_iters=1), steps_per_epoch=10)
+    batch = dummy_train_inputs(cfg, 8)
+
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(3)
+
+    # single device
+    state1 = create_train_state(model, tx, jax.device_put(batch), seed=0)
+    new1, m1 = step(state1, jax.device_put(batch), rng)
+
+    # 8-device mesh
+    mesh = make_mesh()
+    state8 = create_train_state(model, tx, jax.device_put(batch), seed=0)
+    state8 = jax.device_put(state8, replicated_sharding(mesh))
+    new8, m8 = step(state8, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    # gradients agree (post-Adam params amplify reduction-order noise on
+    # near-zero grads: m/sqrt(v) is ill-conditioned at step 1)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-4
+    )
+    l1 = jax.tree_util.tree_leaves(new1.params)
+    l8 = jax.tree_util.tree_leaves(new8.params)
+    lr = 1e-4
+    for a, b in zip(l1, l8):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2 * lr, diff.max()  # within one Adam step
