@@ -44,7 +44,7 @@ def test_sharded_step_matches_single_device():
     # gradients agree (post-Adam params amplify reduction-order noise on
     # near-zero grads: m/sqrt(v) is ill-conditioned at step 1)
     np.testing.assert_allclose(
-        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-4
+        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=5e-3
     )
     l1 = jax.tree_util.tree_leaves(new1.params)
     l8 = jax.tree_util.tree_leaves(new8.params)
