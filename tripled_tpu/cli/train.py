@@ -24,6 +24,11 @@ def parse_args():
     p.add_argument("--finetune", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from <work_dir>/ckpt/latest when present (preemption "
+             "recovery; the reference only supports explicit --resume_from)",
+    )
     return p.parse_args()
 
 
@@ -48,6 +53,10 @@ def main():
         updates["seed"] = args.seed
     if updates:
         cfg = dataclasses.replace(cfg, **updates)
+    if args.auto_resume and not cfg.resume_from:
+        latest = os.path.join(cfg.work_dir, "ckpt", "latest")
+        if os.path.exists(latest):
+            cfg = dataclasses.replace(cfg, resume_from=cfg.work_dir)
 
     log = get_root_logger()
     os.makedirs(cfg.work_dir, exist_ok=True)

@@ -130,6 +130,9 @@ class DataConfig:
     erase_count: int = 0
     # map-pose
     map_alphas: tuple = ()
+    # emit per-frame Lab conversions of the resized frames
+    # (`mono_dataset.py:104-109` add_lab option)
+    add_lab: bool = False
     # loader
     batch_size: int = 12
     shuffle: bool = True

@@ -167,6 +167,23 @@ class MonoDataset:
             "K": K.astype(np.float32),
             "inv_K": inv_K,
         }
+        if self.cfg.add_lab:
+            # PIL ImageCms LAB equivalent: D50-ish Lab scaled to [0,1] per
+            # channel like a uint8 LAB image (mono_dataset.py:11-15,104-109)
+            from PIL import Image, ImageCms
+
+            srgb_p = ImageCms.createProfile("sRGB")
+            lab_p = ImageCms.createProfile("LAB")
+            tf = ImageCms.buildTransformFromOpenProfiles(
+                srgb_p, lab_p, "RGB", "LAB"
+            )
+            labs = []
+            for c in colors:
+                im = Image.fromarray((c * 255).astype(np.uint8))
+                labs.append(
+                    np.asarray(ImageCms.applyTransform(im, tf), np.float32) / 255.0
+                )
+            out["color_lab"] = np.stack(labs)
         if "s" in self.frame_ids:
             stereo_T = np.eye(4, dtype=np.float32)
             baseline_sign = -1 if do_flip else 1
