@@ -15,7 +15,9 @@ import dataclasses
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None, help="Orbax checkpoint dir")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="reference .pth checkpoint (imported via torch_import)")
     p.add_argument("--gt_path", default=None)
     p.add_argument("--split_file", default=None)
     p.add_argument("--pp", action="store_true", help="flip post-processing")
@@ -47,7 +49,20 @@ def main():
     tx, _ = make_optimizer(cfg.optim, steps_per_epoch=1)
     init_inputs = jax.device_put(dummy_train_inputs(cfg.model, batch=1))
     state = create_train_state(model, tx, init_inputs, seed=0)
-    state, _ = ckpt.restore_checkpoint(args.checkpoint, state)
+    if args.torch_checkpoint:
+        from tripled_tpu.utils.torch_import import import_reference_checkpoint
+
+        v = import_reference_checkpoint(args.torch_checkpoint, state.variables)
+        import dataclasses as _dc
+
+        state = _dc.replace(
+            state, params=v["params"],
+            batch_stats=v.get("batch_stats", state.batch_stats),
+        )
+    elif args.checkpoint:
+        state, _ = ckpt.restore_checkpoint(args.checkpoint, state)
+    else:
+        raise SystemExit("need --checkpoint or --torch_checkpoint")
 
     evaluator = DepthEvaluator(
         make_predict_fn(model),

@@ -161,3 +161,112 @@ def import_depth_encoder(ckpt_path_or_sd, encoder_variables, prefix="DepthEncode
     params[key] = p
     stats[key] = s
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------- decoders
+
+# torch key prefix → our flax DepthDecoder module name, per level. The flax
+# decoder creates modules per level in call order: Conv1x1 (reduce), Conv3x3
+# (iconv), CRPBlock (4 pointwise Conv1x1), Conv3x3 (merge), Conv3x3 (disp) —
+# levels run 4,3,2,1 so indices increment by level.
+def _depth_decoder_key_map():
+    mapping = {}
+    for li, level in enumerate((4, 3, 2, 1)):
+        mapping[f"reduce{level}"] = (f"Conv1x1_{li}", "Conv_0")
+        mapping[f"iconv{level}"] = (f"Conv3x3_{3 * li}", "Conv_0")
+        for t in range(4):
+            mapping[f"crp{level}.0.{t + 1}_pointwise"] = (
+                f"CRPBlock_{li}", f"Conv1x1_{t}", "Conv_0",
+            )
+        mapping[f"merge{level}"] = (f"Conv3x3_{3 * li + 1}", "Conv_0")
+        mapping[f"disp{level}.0"] = (f"Conv3x3_{3 * li + 2}", "Conv_0")
+    return mapping
+
+
+def import_depth_decoder_params(torch_sd, flax_params: dict) -> dict:
+    """Fill our flax `DepthDecoder` params from the reference torch
+    `DepthDecoder` state_dict (`mono/model/mono_fm_joint/depth_decoder.py:8-115`).
+    """
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    for tname, fpath in _depth_decoder_key_map().items():
+        w = torch_sd[f"{tname}.conv.weight"]
+        _set(params, fpath + ("kernel",), _conv_to_hwio(w))
+        b = torch_sd.get(f"{tname}.conv.bias")
+        if b is not None:
+            _set(params, fpath + ("bias",), b)
+    return params
+
+
+def import_pose_decoder_params(torch_sd, flax_params: dict) -> dict:
+    """Reference PoseDecoder (`mono/model/mono_fm/pose_decoder.py:5-26`):
+    reduce → conv1 → conv2 → conv3 map onto our Conv_0..Conv_3."""
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    for i, tname in enumerate(("reduce", "conv1", "conv2", "conv3")):
+        _set(params, (f"Conv_{i}", "kernel"), _conv_to_hwio(torch_sd[f"{tname}.weight"]))
+        _set(params, (f"Conv_{i}", "bias"), torch_sd[f"{tname}.bias"])
+    return params
+
+
+def import_reference_checkpoint(ckpt_path_or_sd, variables: dict) -> dict:
+    """Import a full reference training checkpoint (`{'state_dict': ...}`
+    with `DepthEncoder.* / DepthDecoder.* / PoseEncoder.* / PoseDecoder.*`
+    prefixes) into a TripleDNet variables tree, covering the submodules the
+    depth/pose evaluation paths need. Missing prefixes are skipped."""
+    sd = (
+        load_torch_state_dict(ckpt_path_or_sd)
+        if isinstance(ckpt_path_or_sd, str)
+        else ckpt_path_or_sd
+    )
+    import jax
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    stats = copy.deepcopy(
+        jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+    )
+
+    def enc_key(tree):
+        return next(k for k in tree if k.startswith("ResNetFeatures"))
+
+    de = filter_prefix(sd, "DepthEncoder.encoder")
+    if de and "depth_encoder" in params:
+        k = enc_key(params["depth_encoder"])
+        p, s = import_resnet(de, params["depth_encoder"][k],
+                             stats["depth_encoder"][k])
+        params["depth_encoder"][k] = p
+        stats["depth_encoder"][k] = s
+
+    dd = filter_prefix(sd, "DepthDecoder")
+    if dd and "depth_decoder" in params:
+        params["depth_decoder"] = import_depth_decoder_params(
+            dd, params["depth_decoder"]
+        )
+
+    pe = filter_prefix(sd, "PoseEncoder.encoder")
+    if pe and "pose_encoder" in params:
+        k = enc_key(params["pose_encoder"])
+        p, s = import_resnet(pe, params["pose_encoder"][k],
+                             stats["pose_encoder"][k])
+        params["pose_encoder"][k] = p
+        stats["pose_encoder"][k] = s
+
+    pd = filter_prefix(sd, "PoseDecoder")
+    if pd and "pose_decoder" in params:
+        params["pose_decoder"] = import_pose_decoder_params(
+            pd, params["pose_decoder"]
+        )
+
+    ex = filter_prefix(sd, "Encoder.encoder")
+    if ex and "extractor" in params:
+        k = enc_key(params["extractor"])
+        p, s = import_resnet(ex, params["extractor"][k], stats["extractor"][k])
+        params["extractor"][k] = p
+        stats["extractor"][k] = s
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
