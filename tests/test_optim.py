@@ -35,3 +35,26 @@ def test_grad_clip_global_norm():
     # after clip, Adam normalizes: update magnitude bounded by lr
     assert np.all(np.isfinite(np.asarray(updates["w"])))
     assert np.abs(np.asarray(updates["w"])).max() <= cfg.learning_rate * 1.01
+
+
+def test_paramwise_options():
+    import jax
+
+    cfg = OptimConfig(
+        learning_rate=1e-2, weight_decay=0.0, warmup_iters=1,
+        bias_lr_mult=2.0,
+    )
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    params = {
+        "Conv_0": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)},
+        "BatchNorm_0": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
+    }
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # identical grads -> Adam gives identical magnitudes; bias gets 2x lr
+    kmag = float(np.abs(np.asarray(updates["Conv_0"]["kernel"])).mean())
+    bmag = float(np.abs(np.asarray(updates["Conv_0"]["bias"])).mean())
+    nmag = float(np.abs(np.asarray(updates["BatchNorm_0"]["bias"])).mean())
+    np.testing.assert_allclose(bmag, 2 * kmag, rtol=1e-5)
+    np.testing.assert_allclose(nmag, kmag, rtol=1e-5)  # norm biases excluded

@@ -149,6 +149,11 @@ class OptimConfig:
     lr_steps: tuple = (20, 30)   # epochs
     lr_gamma: float = 0.5
     total_epochs: int = 40
+    # paramwise options (`mono/apis/trainer.py:77-144`): multipliers applied
+    # to non-norm biases (lr / weight decay) and norm-layer weight decay
+    bias_lr_mult: float = 1.0
+    bias_decay_mult: float = 1.0
+    norm_decay_mult: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
