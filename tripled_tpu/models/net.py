@@ -442,8 +442,10 @@ class TripleDNet(nn.Module):
                     / 5.0
                 )
 
-        # min perceptional loss — net.py:130-140 / inpaint net.py:59-70
-        if features is not None and c.perception_weight > 0:
+        # min perceptional loss — net.py:130-140 / inpaint net.py:59-70.
+        # The equivariant variant's compute_losses override omits this term
+        # (`mono_fm_joint_inpaint/net.py:690-783`).
+        if features is not None and c.perception_weight > 0 and not c.equivariant:
             if c.im_rot:
                 # crop-matched perceptual branch (`im_rot/net.py:109-164`)
                 ri, rj = outputs["crop_offset"]

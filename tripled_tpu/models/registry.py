@@ -81,12 +81,17 @@ def _disentangle_distill_colorize(c):
 
 @_preset("mono_fm_joint_inpaint_disentangle_distill_sep_colorize")
 def _sep_colorize(c):
-    return _r(_fm_joint_inpaint(c), sep_colorize=True)
+    # the sep variants replace the disentangle ColorDecoder branch with their
+    # own encoder/decoder pair; no auto_res term exists in the reference's
+    # loss chain (`mono_fm_joint_inpaint/net.py:261-329`)
+    return _r(_fm_joint_inpaint(c), sep_colorize=True, auto_res_weight=0.0,
+              use_pfp=False)
 
 
 @_preset("mono_fm_joint_inpaint_disentangle_distill_sep_inpaint")
 def _sep_inpaint(c):
-    return _r(_fm_joint_inpaint(c), sep_inpaint=True)
+    return _r(_fm_joint_inpaint(c), sep_inpaint=True, auto_res_weight=0.0,
+              use_pfp=False)
 
 
 @_preset("mono_fm_joint_inpaint_map_pose")
