@@ -114,19 +114,28 @@ def _collate(samples: list[dict]) -> dict:
     return out
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
-    """Async host→device transfer with a bounded queue (double buffering)."""
+def prefetch_to_device(iterator, size: int = 2, sharding=None, put_fn=None):
+    """Async host→device transfer with a bounded queue (double buffering).
+
+    `put_fn` overrides the transfer (e.g. `shard_batch` onto a mesh);
+    otherwise `jax.device_put` with the optional sharding is used.
+    """
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+
+    def _put(host):
+        if put_fn is not None:
+            return put_fn(host)
+        if sharding is not None:
+            return jax.device_put(host, sharding)
+        return jax.device_put(host)
 
     def producer():
         try:
             for batch in iterator:
                 host = {k: v for k, v in batch.items() if k != "gt_depth"}
-                dev = jax.device_put(host, sharding) if sharding is not None else (
-                    jax.device_put(host)
-                )
+                dev = _put(host)
                 if "gt_depth" in batch:
                     dev = dict(dev, gt_depth=batch["gt_depth"])
                 q.put(dev)

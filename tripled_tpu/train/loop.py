@@ -104,11 +104,14 @@ def train_mono(
         loader.set_epoch(epoch)
         t_epoch = time.perf_counter()
         n_imgs = 0
-        for it, batch in enumerate(loader):
+        from tripled_tpu.data.pipeline import prefetch_to_device
+
+        batches = prefetch_to_device(
+            iter(loader), size=2, put_fn=lambda b: shard_batch(b, mesh)
+        )
+        for it, batch in enumerate(batches):
             if max_steps_per_epoch and it >= max_steps_per_epoch:
                 break
-            batch = {k: v for k, v in batch.items() if k != "gt_depth"}
-            batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             n_imgs += cfg.data.batch_size * jax.process_count()
