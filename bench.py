@@ -8,8 +8,9 @@ no numbers (BASELINE.md), so until a measured baseline lands in
 BASELINE.json this reports the ratio to a conservative 10 imgs/sec/GPU
 stand-in for the 4-GPU FeatDepth setup (≥3× that is the north-star target).
 
-Env overrides: BENCH_BATCH (default 12), BENCH_STEPS (default 20),
-BENCH_MODE=train|infer.
+Env overrides: BENCH_BATCH (default 24 — the single-chip sweet spot:
+bs12→1710, bs24→2400 imgs/s, bs48 OOMs), BENCH_STEPS (default 20),
+BENCH_MODE=train|infer, BENCH_PALLAS=1.
 """
 
 import json
@@ -105,7 +106,7 @@ def main():
     enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "train")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "12"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     if mode == "infer":
         fps = bench_infer(steps=max(steps, 20))
         print(
@@ -124,7 +125,9 @@ def main():
             ips = bench_train(batch=batch, steps=steps)
             break
         except Exception as e:  # OOM fallback
-            if "RESOURCE_EXHAUSTED" in str(e) and batch > 1:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if oom and batch > 1:
                 batch //= 2
                 continue
             raise
