@@ -40,6 +40,7 @@ def _build(batch, height, width):
         width=width,
         perception_weight=1e-3,
         use_pallas_photometric=os.environ.get("BENCH_PALLAS", "0") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     model = build_model(cfg)
     tx, _ = make_optimizer(OptimConfig(warmup_iters=2), steps_per_epoch=100)

@@ -353,3 +353,49 @@ def test_upsample2x_nearest(rng_np):
     ref = F.interpolate(to_nchw(x), scale_factor=2, mode="nearest")
     got = ops.upsample2x_nearest(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), from_nchw(ref), rtol=1e-6)
+
+
+def test_grid_sample_gradients_vs_torch(rng_np):
+    """Backward-warp gradients (both image and coords) match torch's
+    grid_sample autograd — training parity for the view-synthesis loss."""
+    b, h, w, c = 1, 10, 12, 2
+    img = rng_np.rand(b, h, w, c).astype(np.float32)
+    grid = (rng_np.rand(b, 6, 7, 2).astype(np.float32) * 1.6 - 0.8)
+
+    t_img = to_nchw(img).requires_grad_(True)
+    t_grid = torch.from_numpy(grid).requires_grad_(True)
+    t_out = F.grid_sample(t_img, t_grid, mode="bilinear",
+                          padding_mode="border", align_corners=True)
+    t_out.sum().backward()
+
+    import jax
+
+    def f(im, g):
+        return ops.warp_pixel_coords(im, g, align_corners=True).sum()
+
+    gi, gg = jax.grad(f, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(
+        np.asarray(gi), from_nchw(t_img.grad), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg), t_grid.grad.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_ssim_gradients_vs_torch(rng_np):
+    x = rng_np.rand(1, 8, 9, 3).astype(np.float32)
+    y = rng_np.rand(1, 8, 9, 3).astype(np.float32)
+
+    tx = to_nchw(x).requires_grad_(True)
+    ty = to_nchw(y).requires_grad_(True)
+    torch_ssim(tx, ty).sum().backward()
+
+    import jax
+
+    gx, gy = jax.grad(lambda a, b: ops.ssim(a, b).sum(), argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    np.testing.assert_allclose(np.asarray(gx), from_nchw(tx.grad), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), from_nchw(ty.grad), rtol=1e-3,
+                               atol=1e-5)
