@@ -48,7 +48,6 @@ def predict_sequence_transforms(cfg, state, model, dataset, batch_size=8):
 
 def _load(args):
     from tripled_tpu.cli.infer import load_depth_model
-    from tripled_tpu.config import load_config
     from tripled_tpu.data.datasets import KITTIOdomDataset
     from tripled_tpu.data.readers import readlines, split_file_path
     from tripled_tpu.models.registry import build_model

@@ -23,7 +23,6 @@ def main():
     import numpy as np
 
     from tripled_tpu.cli.infer import _save_disp_png, load_depth_model
-    from tripled_tpu.config import load_config
     from tripled_tpu.data.get_dataset import get_dataset
     from PIL import Image
 

@@ -9,7 +9,7 @@ live in /root/repo/configs/*.py and build an `ExperimentConfig`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 # frame ids: ints are temporal offsets, "s" is the opposite stereo view
 FrameId = Any

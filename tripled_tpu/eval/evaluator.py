@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-import jax
 import numpy as np
 
 from tripled_tpu.eval.depth_metrics import (

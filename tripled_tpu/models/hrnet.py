@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from tripled_tpu.models.layers import kaiming_out

@@ -60,7 +60,6 @@ from tripled_tpu.ops import (
     rgb2lab,
     rgb_to_gray,
     rgb_to_l,
-    robust_l1,
     scale_intrinsics,
     smooth_loss,
     feature_regularization_loss,

@@ -9,9 +9,7 @@ against reference weights (prefix-mapped, `mono/model/mono_fm/net.py:20-25`).
 from __future__ import annotations
 
 import os
-from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

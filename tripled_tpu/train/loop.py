@@ -13,7 +13,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from tripled_tpu.config import ExperimentConfig
 from tripled_tpu.data.get_dataset import get_dataset

@@ -9,7 +9,6 @@ compiled program; there is no separate gradient-sync hook to schedule.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
