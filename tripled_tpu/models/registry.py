@@ -38,6 +38,11 @@ def _baseline(c):
     return _r(c, use_extractor=False, use_image_decoder=False, perception_weight=0.0)
 
 
+# the reference registers the monodepth2-style baseline under its class name
+# `Baseline` (mono/model/mono_baseline/net.py:14-15)
+_PRESETS["Baseline"] = lambda c: _baseline(c)
+
+
 @_preset("mono_fm")
 def _fm(c):
     # FeatDepth: frozen pretrained extractor, perceptual loss only
