@@ -37,6 +37,14 @@ def main():
     from tripled_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # multi-host pods: one process per host, coordinated via the standard
+    # JAX env vars (the reference's torch.distributed.launch equivalent)
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        jax.distributed.initialize()
     from tripled_tpu.config import dump_config, load_config
     from tripled_tpu.data.get_dataset import get_dataset
     from tripled_tpu.train.loop import get_root_logger, train_mono
