@@ -2,6 +2,6 @@
 from _common import kitti_experiment
 
 config = kitti_experiment(
-    "mono_fm", depth_layers=50, height=320, width=1024,
+    "mono_fm", depth_layers=50, height=320, width=1024, remat=True,
     perception_weight=1e-3, smoothness_weight=1e-3,
 )
