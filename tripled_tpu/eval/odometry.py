@@ -86,6 +86,22 @@ def per_length_errors(errors: list[SegmentError]) -> dict:
     return out
 
 
+def per_speed_errors(errors: list[SegmentError], bin_size: float = 5.0) -> dict:
+    """Speed-binned segment errors (m/s bins), the devkit's speed plot data
+    (`mono/tools/kitti_evaluation_toolkit.py` speed-error path)."""
+    out = {}
+    if not errors:
+        return out
+    max_speed = max(e.speed for e in errors)
+    b = bin_size
+    while b <= max_speed + bin_size:
+        sub = [e for e in errors if b - bin_size <= e.speed < b]
+        if sub:
+            out[b] = average_segment_errors(sub)
+        b += bin_size
+    return out
+
+
 def scale_optimize(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     """Optimize a global scale on the translations (monocular ambiguity)."""
     g = gt[:, :3, 3]
@@ -110,6 +126,7 @@ def evaluate_odometry(
     errors = calc_sequence_errors(gt, pred)
     result = average_segment_errors(errors)
     result["per_length"] = per_length_errors(errors)
+    result["per_speed"] = per_speed_errors(errors)
     # ATE on positions
     diff = gt[:, :3, 3] - pred[:, :3, 3]
     result["ate_rmse"] = float(np.sqrt((diff**2).sum(-1).mean()))
