@@ -9,7 +9,7 @@ BASELINE.json this reports the ratio to a conservative 10 imgs/sec/GPU
 stand-in for the 4-GPU FeatDepth setup (≥3× that is the north-star target).
 
 Env overrides: BENCH_BATCH (default 24 — the single-chip sweet spot:
-bs12→1710, bs24→2400 imgs/s, bs48 OOMs), BENCH_STEPS (default 20),
+bs12→1719, bs24→3700 imgs/s, bs48 OOMs), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1.
 """
 
