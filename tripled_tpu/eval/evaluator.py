@@ -36,16 +36,21 @@ class DepthEvaluator:
         self.flip_post_process = flip_post_process
 
     def _collect_disps(self, variables):
+        from concurrent.futures import ThreadPoolExecutor
+
         n = len(self.dataset)
         bs = self.batch_size
         disps = []
         n_imgs = 0
         t0 = time.perf_counter()
         rng = np.random.RandomState(0)
+        pool = ThreadPoolExecutor(max_workers=4)
         for start in range(0, n, bs):
             idx = list(range(start, min(start + bs, n)))
             pad = bs - len(idx)
-            samples = [self.dataset.sample(i, rng) for i in idx]
+            samples = list(
+                pool.map(lambda i: self.dataset.sample(i, rng), idx)
+            )
             imgs = np.stack([s["color"] for s in samples])  # (b, 1, H, W, 3)
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
@@ -59,6 +64,7 @@ class DepthEvaluator:
                 disp = disp[:-pad]
             disps.extend(list(disp))
             n_imgs += len(idx)
+        pool.shutdown()
         dt = time.perf_counter() - t0
         fps = n_imgs / dt if dt > 0 else float("inf")
         return disps, fps
