@@ -399,3 +399,36 @@ def test_ssim_gradients_vs_torch(rng_np):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy), from_nchw(ty.grad), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_reference_warp_convention_composition(rng_np):
+    """cfg.warp_align_corners=False reproduces the reference's actual
+    sampling: (W-1, H-1) normalization (mono_fm_joint/net.py:189-192)
+    composed with F.grid_sample's torch>=1.3 DEFAULT align_corners=False.
+    The composition samples at x*W/(W-1) - 0.5."""
+    import torch
+    import torch.nn.functional as F
+
+    from tripled_tpu.ops.warp import grid_sample as our_grid_sample
+
+    b, h, w, c = 2, 12, 20, 3
+    img = rng_np.rand(b, h, w, c).astype(np.float32)
+    # raw pixel coords a model would produce (inside + slightly outside)
+    px = rng_np.uniform(-1.5, w + 0.5, (b, h, w)).astype(np.float32)
+    py = rng_np.uniform(-1.5, h + 0.5, (b, h, w)).astype(np.float32)
+
+    # reference path: normalize by (W-1, H-1), grid_sample default
+    gx = (px / (w - 1) - 0.5) * 2
+    gy = (py / (h - 1) - 0.5) * 2
+    grid = torch.from_numpy(np.stack([gx, gy], -1))
+    timg = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+    ref = F.grid_sample(timg, grid, padding_mode="border")  # default a_c=False
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+
+    # our path: the warp_align_corners=False correction in
+    # TripleDNet._grid_sample (models/net.py)
+    sx = w / (w - 1.0)
+    sy = h / (h - 1.0)
+    coords = np.stack([px * sx - 0.5, py * sy - 0.5], -1)
+    got = np.asarray(our_grid_sample(jnp.asarray(img), jnp.asarray(coords)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -93,6 +93,15 @@ class ModelConfig:
     use_diffnet: bool = False
     depth_use_shuffle: bool = False
 
+    # Warp sampling convention. The reference normalizes pixel coords by
+    # (W-1, H-1) (mono_fm_joint/net.py:189-192 — the align_corners=True
+    # convention) but then calls F.grid_sample with no align_corners
+    # argument, which DEFAULTS TO FALSE on torch >= 1.3. True (default)
+    # keeps the self-consistent exact-pixel convention; False reproduces
+    # the reference-on-modern-torch behavior (a sub-pixel x*W/(W-1) - 0.5
+    # shift of every sample location) for bit-parity studies.
+    warp_align_corners: bool = True
+
     # numerics / kernels
     compute_dtype: str = "float32"     # 'bfloat16' for mixed-precision conv path
     # fused Pallas photometric min-reprojection kernel (TPU only). Skips the

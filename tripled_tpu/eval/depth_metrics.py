@@ -67,6 +67,43 @@ def batch_post_process_disparity(l_disp: np.ndarray, r_disp: np.ndarray):
     return r_mask * l_disp + l_mask * r_disp + (1.0 - l_mask - r_mask) * m_disp
 
 
+def per_image_depth_metrics(
+    pred_disp,
+    gt_depth,
+    stereo_scale: bool = False,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+):
+    """One image of the Eigen protocol: (7 errors..., median ratio) or None
+    if no valid GT pixels. Row layout enables the rank-sharded evaluator to
+    all-gather fixed-width rows and aggregate exactly like the sequential
+    path (`scripts/eval_depth.py:82-100`)."""
+    gt_depth = np.asarray(gt_depth, np.float64)
+    gh, gw = gt_depth.shape[:2]
+    disp = _resize_bilinear_np(np.asarray(pred_disp), gh, gw)
+    pred_depth = 1.0 / np.maximum(disp, 1e-12)
+
+    mask = (gt_depth > min_depth) & (gt_depth < max_depth)
+    mask &= eigen_crop_mask(gh, gw)
+    if not mask.any():
+        return None
+    p = pred_depth[mask]
+    g = gt_depth[mask]
+    ratio = np.median(g) / np.median(p)
+    p = p * (STEREO_SCALE_FACTOR if stereo_scale else ratio)
+    p = np.clip(p, min_depth, max_depth)
+    return np.asarray(compute_errors(g, p) + (ratio,), np.float64)
+
+
+def aggregate_depth_metric_rows(rows: np.ndarray):
+    """(N, 8) per-image rows -> (mean 7-metrics, ratio median, ratio std)."""
+    rows = np.asarray(rows, np.float64)
+    ratios = rows[:, 7] if len(rows) else np.asarray([1.0])
+    med = np.median(ratios)
+    mean_errors = rows[:, :7].mean(0)
+    return mean_errors, med, float(np.std(ratios / med))
+
+
 def evaluate_depth_predictions(
     pred_disps,
     gt_depths,
@@ -75,31 +112,14 @@ def evaluate_depth_predictions(
     max_depth: float = MAX_DEPTH,
 ):
     """Run the Eigen protocol; returns (mean 7-metrics, ratio median, ratio std)."""
-    errors, ratios = [], []
-    for pred_disp, gt_depth in zip(pred_disps, gt_depths):
-        gt_depth = np.asarray(gt_depth, np.float64)
-        gh, gw = gt_depth.shape[:2]
-        disp = _resize_bilinear_np(np.asarray(pred_disp), gh, gw)
-        pred_depth = 1.0 / np.maximum(disp, 1e-12)
-
-        mask = (gt_depth > min_depth) & (gt_depth < max_depth)
-        mask &= eigen_crop_mask(gh, gw)
-        if not mask.any():
-            continue
-        p = pred_depth[mask]
-        g = gt_depth[mask]
-        ratio = np.median(g) / np.median(p)
-        ratios.append(ratio)
-        if stereo_scale:
-            ratio = STEREO_SCALE_FACTOR
-        p = p * ratio
-        p = np.clip(p, min_depth, max_depth)
-        errors.append(compute_errors(g, p))
-
-    ratios = np.asarray(ratios) if ratios else np.asarray([1.0])
-    med = np.median(ratios)
-    mean_errors = np.asarray(errors).mean(0)
-    return mean_errors, med, float(np.std(ratios / med))
+    rows = [
+        r
+        for pred_disp, gt_depth in zip(pred_disps, gt_depths)
+        if (r := per_image_depth_metrics(
+            pred_disp, gt_depth, stereo_scale, min_depth, max_depth
+        )) is not None
+    ]
+    return aggregate_depth_metric_rows(np.asarray(rows))
 
 
 class AverageMeter:

@@ -1,8 +1,12 @@
 """In-training / offline depth evaluator (the reference's eval hooks +
 `scripts/eval_depth.py` re-designed for JAX).
 
-Instead of the reference's rank-strided loop with pickle-file gather
-(`mono/core/evaluation/eval_hooks.py:195-291`), the forward pass is one
+Like the reference's rank-strided loop (`mono/core/evaluation/
+eval_hooks.py:195-291`), each process evaluates the index slice
+``range(process_index, n, process_count)`` — 1/N of the work per host —
+but instead of the reference's pickle-file gather, fixed-width per-image
+metric rows are all-gathered across hosts (``multihost_utils``) and
+aggregated identically to the sequential protocol. The forward pass is one
 jitted batched function; only the per-image resize/crop/median-scale tail
 runs on host (it is variable-shape by protocol)."""
 
@@ -15,8 +19,9 @@ import numpy as np
 
 from tripled_tpu.eval.depth_metrics import (
     METRIC_NAMES,
+    aggregate_depth_metric_rows,
     batch_post_process_disparity,
-    evaluate_depth_predictions,
+    per_image_depth_metrics,
 )
 
 
@@ -28,28 +33,40 @@ class DepthEvaluator:
         batch_size: int = 8,
         stereo_scale: bool = False,
         flip_post_process: bool = False,
+        shard_across_processes: bool = True,
     ):
         self.predict_fn = predict_fn
         self.dataset = dataset
         self.batch_size = batch_size
         self.stereo_scale = stereo_scale
         self.flip_post_process = flip_post_process
+        self.shard_across_processes = shard_across_processes
 
-    def _collect_disps(self, variables):
+    def _shard(self):
+        if not self.shard_across_processes:
+            return 0, 1
+        import jax
+
+        return jax.process_index(), jax.process_count()
+
+    def _collect_disps(self, variables, indices):
         from concurrent.futures import ThreadPoolExecutor
 
-        n = len(self.dataset)
         bs = self.batch_size
         disps = []
         n_imgs = 0
         t0 = time.perf_counter()
-        rng = np.random.RandomState(0)
         pool = ThreadPoolExecutor(max_workers=4)
-        for start in range(0, n, bs):
-            idx = list(range(start, min(start + bs, n)))
+        for start in range(0, len(indices), bs):
+            idx = indices[start : start + bs]
             pad = bs - len(idx)
+            # per-index RandomState: thread-safe and deterministic regardless
+            # of pool scheduling (datasets may consume rng at eval time)
             samples = list(
-                pool.map(lambda i: self.dataset.sample(i, rng), idx)
+                pool.map(
+                    lambda i: self.dataset.sample(i, np.random.RandomState(i)),
+                    idx,
+                )
             )
             imgs = np.stack([s["color"] for s in samples])  # (b, 1, H, W, 3)
             if pad:
@@ -70,13 +87,39 @@ class DepthEvaluator:
         return disps, fps
 
     def run(self, variables) -> dict:
-        disps, fps = self._collect_disps(variables)
-        gt = [self.dataset.gt_depths[i] for i in range(len(self.dataset))]
-        mean_errors, ratio_med, ratio_std = evaluate_depth_predictions(
-            disps, gt, stereo_scale=self.stereo_scale
+        p_idx, p_cnt = self._shard()
+        n = len(self.dataset)
+        indices = list(range(p_idx, n, p_cnt))
+        disps, fps = self._collect_disps(variables, indices)
+
+        rows = [
+            r
+            for i, d in zip(indices, disps)
+            if (r := per_image_depth_metrics(
+                d, self.dataset.gt_depths[i], stereo_scale=self.stereo_scale
+            )) is not None
+        ]
+        rows = (
+            np.stack(rows) if rows else np.zeros((0, 8), np.float64)
         )
+        if p_cnt > 1:
+            rows = _allgather_rows(rows, n, p_cnt)
+        mean_errors, ratio_med, ratio_std = aggregate_depth_metric_rows(rows)
         metrics = dict(zip(METRIC_NAMES, [float(x) for x in mean_errors]))
         metrics["scale_ratio_med"] = float(ratio_med)
         metrics["scale_ratio_std"] = float(ratio_std)
         metrics["eval_fps"] = float(fps)
         return metrics
+
+
+def _allgather_rows(rows: np.ndarray, n_total: int, p_cnt: int) -> np.ndarray:
+    """Gather variable-count per-image rows across processes: NaN-pad every
+    shard to the max possible per-process count, allgather, drop padding."""
+    from jax.experimental import multihost_utils
+
+    max_local = -(-n_total // p_cnt)
+    padded = np.full((max_local, rows.shape[1]), np.nan, np.float64)
+    padded[: len(rows)] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(-1, rows.shape[1])
+    return gathered[~np.isnan(gathered[:, 0])]

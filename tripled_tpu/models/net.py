@@ -131,6 +131,11 @@ class TripleDNet(nn.Module):
             enc_ch = stage_channels(c.depth_num_layers)
 
         self._disentangled = any(c.disentangle_layers)
+        if c.use_diffnet and self._disentangled:
+            # the reference combination is broken too: its disentangle
+            # forward indexes the 5 flat skips into HRNet's nested feature
+            # lists (mono_fm_joint/net.py:37-38 + inpaint/net.py:398-460)
+            raise ValueError("use_diffnet cannot be combined with disentangle")
         # depth skip layers
         skips = []
         depth_ch = []
@@ -152,7 +157,7 @@ class TripleDNet(nn.Module):
         if c.use_diffnet:
             from tripled_tpu.models.hr_decoders import DIFFDepthDecoder
 
-            self.depth_decoder = DIFFDepthDecoder(tuple(depth_ch))
+            self.depth_decoder = DIFFDepthDecoder(tuple(enc_ch))
         elif c.use_hr_depth:
             from tripled_tpu.models.hr_decoders import HRDepthDecoder
 
@@ -226,10 +231,15 @@ class TripleDNet(nn.Module):
     def __call__(self, inputs: Dict[str, Any], train: bool = True):
         c = self.cfg
         scene = self.depth_encoder(inputs["color_aug"][:, 0], train=train)
-
-        depth_emb = [
-            skip(f, train=train) for skip, f in zip(self.depth_skips, scene)
-        ]
+        if c.use_diffnet:
+            # HRNet yields the nested DIFFNet feature structure
+            # (hrnet.py docstring); no skip layers apply — diffnet is never
+            # disentangled (see setup)
+            depth_emb = scene
+        else:
+            depth_emb = [
+                skip(f, train=train) for skip, f in zip(self.depth_skips, scene)
+            ]
         disps = self.depth_decoder(depth_emb, train=train)
 
         if not train:
@@ -366,6 +376,21 @@ class TripleDNet(nn.Module):
             return inputs["stereo_T"]
         return outputs["cam_T_cam"][i]
 
+    def _grid_sample(self, img, coords, method: str = "bilinear"):
+        """grid_sample honoring cfg.warp_align_corners.
+
+        The reference normalizes by (W-1, H-1) then calls F.grid_sample
+        with the torch>=1.3 default align_corners=False
+        (mono_fm_joint/net.py:189-193); that composition samples at
+        x*W/(W-1) - 0.5 instead of x. warp_align_corners=False reproduces
+        it exactly for parity studies; True (default) keeps exact pixel
+        coordinates."""
+        if not self.cfg.warp_align_corners:
+            h, w = img.shape[1], img.shape[2]
+            scale = jnp.asarray([w / (w - 1.0), h / (h - 1.0)], coords.dtype)
+            coords = coords * scale - 0.5
+        return grid_sample(img, coords, method=method)
+
     def _warp_colors(self, inputs, outputs, disp):
         """Backward-warp each source frame into the target view
         (`mono_fm_joint/net.py:181-194`). Returns list over source frames."""
@@ -376,7 +401,7 @@ class TripleDNet(nn.Module):
         for i, f_i in enumerate(c.frame_ids[1:], start=1):
             T = self._frame_T(inputs, outputs, i, f_i)
             coords = warp_coords(depth, inputs["inv_K"], inputs["K"], T)
-            warped.append(grid_sample(inputs["color"][:, i], coords))
+            warped.append(self._grid_sample(inputs["color"][:, i], coords))
         return warped
 
     def _warp_features(self, inputs, outputs, disp0, train):
@@ -395,7 +420,7 @@ class TripleDNet(nn.Module):
             src_f = self.extractor(inputs["color"][:, i], train=train)[0]
             if c.freeze_extractor:
                 src_f = jax.lax.stop_gradient(src_f)
-            feats.append(grid_sample(src_f, coords))
+            feats.append(self._grid_sample(src_f, coords))
         return feats
 
     def _warp_features_cropped(self, inputs, outputs, disp0, offset, train):
@@ -420,7 +445,7 @@ class TripleDNet(nn.Module):
                 inputs["color"][:, i], (0, ri, rj, 0), (b, size, size, 3)
             )
             src_f = self.extractor(src, train=train)[0]
-            feats.append(grid_sample(src_f, coords))
+            feats.append(self._grid_sample(src_f, coords))
         return feats
 
     # ------------------------------------------------------------------ losses
@@ -681,7 +706,7 @@ class TripleDNet(nn.Module):
                 disp = resize_bilinear(outputs["disps"][s], c.height, c.width)
                 _, depth = disp_to_depth(disp, c.min_depth, c.max_depth)
                 coords = warp_coords(depth, inputs["K"], inputs["inv_K"], T)
-                per_scale_masks.append(grid_sample(mask, coords, method="nearest"))
+                per_scale_masks.append(self._grid_sample(mask, coords, method="nearest"))
             masks[i] = per_scale_masks
 
             src_feats = self.extractor(inputs["color"][:, i], train=train)
@@ -694,6 +719,6 @@ class TripleDNet(nn.Module):
                 sy = 1.0 / (c.height // fh)
                 Kf = scale_intrinsics(inputs["K"], sx, sy)
                 coords = warp_coords(depth, invert_intrinsics(Kf), Kf, T)
-                warped_stages.append(grid_sample(src_f, coords))
+                warped_stages.append(self._grid_sample(src_f, coords))
             res_imgs[i] = self.image_decoder(warped_stages)
         return {"res_imgs": res_imgs, "masks": masks}
