@@ -203,3 +203,43 @@ def test_import_reference_checkpoint_full_model(rng_np, tmp_path):
     np.testing.assert_allclose(
         disp0, np.transpose(ref_disp0, (0, 2, 3, 1)), rtol=1e-3, atol=1e-4
     )
+
+
+def test_shuffle_decoder_matches_reference(rng_np):
+    """use_shuffle=True path: reflection-pad conv + PixelShuffle + ELU
+    (layers.py:110-135). Torch reads the shuffle channel axis as (C, r, r);
+    weights are randomized post-init so the channel-order permutation is
+    actually exercised (the repeated subpixel init masks it)."""
+    pkg = _load_ref_pkg()
+    dd = sys.modules["refpkg.depth_decoder"]
+    chans = [64, 64, 128, 256, 512]
+    t_dec = dd.DepthDecoder(chans, use_shuffle=True)
+    t_dec.eval()
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in t_dec.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.05)
+
+    H, W = 64, 96
+    feats_np = [
+        rng_np.randn(1, c, H // s, W // s).astype(np.float32) * 0.5
+        for c, s in zip(chans, (2, 4, 8, 16, 32))
+    ]
+
+    ours = DepthDecoder(tuple(chans), use_shuffle=True)
+    flax_feats = [np.transpose(f, (0, 2, 3, 1)) for f in feats_np]
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0)}, flax_feats, train=False
+    )
+    sd = {k: v.detach().numpy() for k, v in t_dec.state_dict().items()}
+    params = import_depth_decoder_params(sd, variables["params"])
+    got = ours.apply({"params": params}, flax_feats, train=False)
+
+    with torch.no_grad():
+        ref = t_dec([torch.from_numpy(f) for f in feats_np])
+    for s in range(4):
+        r = np.transpose(ref[("disp", 0, s)].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(got[s]), r, rtol=1e-3, atol=1e-5,
+            err_msg=f"shuffle disp scale {s}",
+        )

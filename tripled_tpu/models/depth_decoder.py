@@ -37,12 +37,17 @@ class DepthDecoder(nn.Module):
 
         bn = self.bottleneck
 
-        def up(x):
-            if self.use_shuffle:
-                return UpShuffle(bn, 2)(x)
-            return upsample2x_nearest(x)
+        if self.use_shuffle:
+            # Reference quirk kept for parity: the forward reuses `up2` for
+            # level 1 (`depth_decoder.py:104-107` — `x1 = self.up2(x1)`), so
+            # `up1` is dead weight. Three shuffle modules: level4, level3,
+            # and level2-shared-with-level1.
+            shuffles = [UpShuffle(bn, 2) for _ in range(3)]
+            ups = [shuffles[0], shuffles[1], shuffles[2], shuffles[2]]
+        else:
+            ups = [upsample2x_nearest] * 4
 
-        def level(feat, prev, prev_disp, reduce_ch):
+        def level(feat, prev, prev_disp, reduce_ch, up):
             x = Conv1x1(reduce_ch, use_bias=False)(feat)
             if prev is not None:
                 x = jnp.concatenate([x, prev, prev_disp], axis=-1)
@@ -55,10 +60,10 @@ class DepthDecoder(nn.Module):
             disp = nn.sigmoid(Conv3x3(1)(x))
             return x, disp
 
-        x4, disp4 = level(l4, None, None, 512)
-        x3, disp3 = level(l3, x4, disp4, bn)
-        x2, disp2 = level(l2, x3, disp3, bn)
-        x1, disp1 = level(l1, x2, disp2, bn)
+        x4, disp4 = level(l4, None, None, 512, ups[0])
+        x3, disp3 = level(l3, x4, disp4, bn, ups[1])
+        x2, disp2 = level(l2, x3, disp3, bn, ups[2])
+        x1, disp1 = level(l1, x2, disp2, bn, ups[3])
 
         # scales [0, 1, 2, 3] == [disp1, disp2, disp3, disp4]
         return [disp1, disp2, disp3, disp4]

@@ -284,9 +284,12 @@ class UpShuffle(nn.Module):
         x = reflect_pad(x, 1)
         x = nn.Conv(c * r * r, (3, 3), padding="VALID", kernel_init=subpixel_init)(x)
         b, h, w, _ = x.shape
-        # NHWC pixel shuffle: (B,H,W,C*r*r) -> (B,H*r,W*r,C)
-        x = x.reshape(b, h, w, r, r, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c)
+        # NHWC pixel shuffle: (B,H,W,C*r*r) -> (B,H*r,W*r,C). torch's
+        # nn.PixelShuffle reads the channel axis as (C, r, r) — out channel
+        # c takes input channel c*r*r + i*r + j — so the last axis must be
+        # split (c, i, j), not (i, j, c).
+        x = x.reshape(b, h, w, c, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, c)
         return nn.elu(x)
 
 

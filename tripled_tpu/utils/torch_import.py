@@ -169,6 +169,91 @@ def import_depth_encoder(ckpt_path_or_sd, encoder_variables, prefix="DepthEncode
 # decoder creates modules per level in call order: Conv1x1 (reduce), Conv3x3
 # (iconv), CRPBlock (4 pointwise Conv1x1), Conv3x3 (merge), Conv3x3 (disp) —
 # levels run 4,3,2,1 so indices increment by level.
+def _hrnet_flax_slots(params: dict):
+    """Conv/BN slot paths of a `HRNetFeatures` tree in creation order, which
+    mirrors the torch HRNet registration order (`diffnet_encoder.py:296-355`):
+    stem ×2, layer1 Bottlenecks, then per stage: transition convs,
+    _HRModule (branch BasicBlocks then fuse convs)."""
+    conv_paths, bn_paths = [], []
+
+    def add(prefix, idx):
+        conv_paths.append(prefix + (f"Conv_{idx}", "kernel"))
+        bn_paths.append(prefix + (f"BatchNorm_{idx}",))
+
+    def add_blocks(prefix, tree, kind):
+        for blk in sorted(
+            [k for k in tree if k.startswith(kind)], key=_natkey
+        ):
+            n = len([k for k in tree[blk] if k.startswith("Conv_")])
+            for j in range(n):
+                add(prefix + (blk,), j)
+
+    add((), 0)
+    add((), 1)
+    add_blocks((), params, "Bottleneck_")
+
+    tconv = 2
+    hrm = 0
+    stage_modules = {2: 1, 3: 4, 4: 3}
+    for stage in (2, 3, 4):
+        # stage2 transition: branch0 reshape conv + new-branch conv;
+        # stages 3/4: only the new-branch conv (channels already match)
+        for _ in range(2 if stage == 2 else 1):
+            add((), tconv)
+            tconv += 1
+        for _ in range(stage_modules[stage]):
+            mod = f"_HRModule_{hrm}"
+            hrm += 1
+            mp = params[mod]
+            add_blocks((mod,), mp, "BasicBlock_")
+            if "_FuseLayer_0" in mp:
+                n = len([k for k in mp["_FuseLayer_0"] if k.startswith("Conv_")])
+                for j in range(n):
+                    add((mod, "_FuseLayer_0"), j)
+    return conv_paths, bn_paths
+
+
+def import_hrnet(
+    torch_sd: Dict[str, np.ndarray],
+    flax_params: dict,
+    flax_batch_stats: dict,
+) -> Tuple[dict, dict]:
+    """Fill a `HRNetFeatures` (params, batch_stats) pair from a torch
+    `HighResolutionNet` state_dict (ordered zip, like `import_resnet`).
+    Supports pretrained HRNet-W18/32/48/64 checkpoints; classifier heads
+    (incre/downsamp/final/fc), absent from the backbone, are ignored."""
+    import jax
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+
+    backbone = {
+        k: v
+        for k, v in torch_sd.items()
+        if not k.startswith(
+            ("incre_modules", "downsamp_modules", "final_layer", "classifier", "fc")
+        )
+    }
+    layers = _torch_layers_in_order(backbone)
+    convs = [e for t, e in layers if t == "conv"]
+    bns = [e for t, e in layers if t == "bn"]
+
+    conv_paths, bn_paths = _hrnet_flax_slots(params)
+    if len(convs) != len(conv_paths) or len(bns) != len(bn_paths):
+        raise ValueError(
+            f"layer-count mismatch: torch {len(convs)} convs / {len(bns)} bns "
+            f"vs flax {len(conv_paths)} / {len(bn_paths)}"
+        )
+    for path, e in zip(conv_paths, convs):
+        _set(params, path, _conv_to_hwio(e["weight"]))
+    for path, e in zip(bn_paths, bns):
+        _set(params, path + ("scale",), e["weight"])
+        _set(params, path + ("bias",), e["bias"])
+        _set(stats, path + ("mean",), e["running_mean"])
+        _set(stats, path + ("var",), e["running_var"])
+    return params, stats
+
+
 def _depth_decoder_key_map():
     mapping = {}
     for li, level in enumerate((4, 3, 2, 1)):
@@ -181,6 +266,17 @@ def _depth_decoder_key_map():
         mapping[f"merge{level}"] = (f"Conv3x3_{3 * li + 1}", "Conv_0")
         mapping[f"disp{level}.0"] = (f"Conv3x3_{3 * li + 2}", "Conv_0")
     return mapping
+
+
+def _shuffle_decoder_key_map():
+    """use_shuffle=True decoders add up4..up1 (Sequential: ReflectionPad,
+    Conv2d, PixelShuffle, ELU — `layers.py:124-134`); the conv is index 1.
+    `up1` is dead weight — the reference forward reuses up2 for level 1
+    (`depth_decoder.py:104-107`), mirrored by our shared module."""
+    return {
+        f"up{level}.1": (f"UpShuffle_{li}", "Conv_0")
+        for li, level in enumerate((4, 3, 2))
+    }
 
 
 def import_depth_decoder_params(torch_sd, flax_params: dict) -> dict:
@@ -196,6 +292,88 @@ def import_depth_decoder_params(torch_sd, flax_params: dict) -> dict:
         b = torch_sd.get(f"{tname}.conv.bias")
         if b is not None:
             _set(params, fpath + ("bias",), b)
+    for tname, fpath in _shuffle_decoder_key_map().items():
+        w = torch_sd.get(f"{tname}.weight")
+        if w is None:  # nearest-upsample decoder: no shuffle convs
+            continue
+        _set(params, fpath + ("kernel",), _conv_to_hwio(w))
+        _set(params, fpath + ("bias",), torch_sd[f"{tname}.bias"])
+    return params
+
+
+def _set_conv(params, path, torch_sd, tname):
+    _set(params, path + ("kernel",), _conv_to_hwio(torch_sd[f"{tname}.weight"]))
+    b = torch_sd.get(f"{tname}.bias")
+    if b is not None:
+        _set(params, path + ("bias",), b)
+
+
+def import_hr_depth_decoder_params(torch_sd, flax_params: dict) -> dict:
+    """Reference HRDepthDecoder (`depth_decoder.py:118-240`) → our
+    `HRDepthDecoder`. Torch names its convs via a ModuleDict
+    (X_ij_Conv_0/1, X_ij_attention fSE, X_ij_downsample); our flax names
+    follow call order over the same position list, enumerated here. The
+    reference's never-used convs (X_0j_Conv_0 for j<4) are skipped."""
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    positions = ("01", "11", "21", "31", "02", "12", "22", "03", "13", "04")
+    attention = {"31", "22", "13", "04"}
+    cb = 0   # ConvBlock counter
+    fse = 0  # FSEModule counter
+    ds = 0   # Conv1x1 downsample counter
+    for index in positions:
+        row, col = int(index[0]), int(index[1])
+        src = f"X_{row + 1}{col - 1}_Conv_0"
+        _set_conv(params, (f"ConvBlock_{cb}", "Conv3x3_0", "Conv_0"),
+                  torch_sd, f"convs.{src}.conv.conv")
+        cb += 1
+        if index in attention:
+            t = f"convs.X_{index}_attention"
+            p = (f"FSEModule_{fse}",)
+            _set(params, p + ("Dense_0", "kernel"), torch_sd[f"{t}.fc.0.weight"].T)
+            _set(params, p + ("Dense_1", "kernel"), torch_sd[f"{t}.fc.2.weight"].T)
+            _set_conv(params, p + ("Conv_0",), torch_sd, f"{t}.conv_se")
+            fse += 1
+        else:
+            if col != 1:
+                _set_conv(params, (f"Conv1x1_{ds}", "Conv_0"), torch_sd,
+                          f"convs.X_{index}_downsample.conv")
+                ds += 1
+            _set_conv(params, (f"ConvBlock_{cb}", "Conv3x3_0", "Conv_0"),
+                      torch_sd, f"convs.X_{row + 1}{col - 1}_Conv_1.conv.conv")
+            cb += 1
+    _set_conv(params, (f"ConvBlock_{cb}", "Conv3x3_0", "Conv_0"),
+              torch_sd, "convs.X_04_Conv_0.conv.conv")
+    _set_conv(params, (f"ConvBlock_{cb + 1}", "Conv3x3_0", "Conv_0"),
+              torch_sd, "convs.X_04_Conv_1.conv.conv")
+    for i in range(4):
+        _set_conv(params, (f"Conv3x3_{i}", "Conv_0"), torch_sd,
+                  f"convs.dispConvScale{i}.conv")
+    return params
+
+
+def import_diff_decoder_params(torch_sd, flax_params: dict) -> dict:
+    """Reference DIFFDepthDecoder (`depth_decoder.py:243-296`) → our
+    `DIFFDepthDecoder`: Attention_Modules 72/36/18/9 → AttentionModule_0..3,
+    up_x9_0/1 → ConvBlock_0/1, dispConvScale0..3 → Conv3x3_0..3."""
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    for i, name in enumerate(("72", "36", "18", "9")):
+        t = f"convs.{name}"
+        p = (f"AttentionModule_{i}",)
+        _set(params, p + ("ChannelAttention_0", "Dense_0", "kernel"),
+             torch_sd[f"{t}.ca.fc.0.weight"].T)
+        _set(params, p + ("ChannelAttention_0", "Dense_1", "kernel"),
+             torch_sd[f"{t}.ca.fc.2.weight"].T)
+        _set_conv(params, p + ("Conv_0",), torch_sd, f"{t}.conv_se")
+    for i, name in enumerate(("up_x9_0", "up_x9_1")):
+        _set_conv(params, (f"ConvBlock_{i}", "Conv3x3_0", "Conv_0"),
+                  torch_sd, f"convs.{name}.conv.conv")
+    for i in range(4):
+        _set_conv(params, (f"Conv3x3_{i}", "Conv_0"), torch_sd,
+                  f"convs.dispConvScale{i}.conv")
     return params
 
 
