@@ -66,19 +66,27 @@ class HRDepthDecoder(nn.Module):
 
 
 class DIFFDepthDecoder(nn.Module):
+    """DIFFNet decoder over the HRNet *nested* feature structure
+    (`depth_decoder.py:243-296`): input_features =
+    [stem64, list18 (4 tensors), list36 (3), list72 (2), f144]; each
+    Attention_Module concatenates upsample(high) with the whole per-width
+    list. Module creation order matches the torch ModuleDict insertion
+    order (up_x9_0, up_x9_1, 72, 36, 18, 9, dispConvScale0..3)."""
+
     num_ch_enc: Sequence[int]
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
     num_output_channels: int = 1
 
     @nn.compact
     def __call__(self, input_features, train: bool = True):
-        f64, f18, f36, f72, f144 = input_features
-        x72 = AttentionModule(256)(f144, [f72])
-        x36 = AttentionModule(128)(x72, [f36])
-        x18 = AttentionModule(64)(x36, [f18])
+        f64, list18, list36, list72, f144 = input_features
+        x72 = AttentionModule(256)(f144, list72)
+        x36 = AttentionModule(128)(x72, list36)
+        x18 = AttentionModule(64)(x36, list18)
         x9 = AttentionModule(32)(x18, [f64])
-        x6 = ConvBlock(self.num_ch_dec[0])(
-            upsample2x_nearest(ConvBlock(self.num_ch_dec[0])(x9))
-        )
+        # sequential statements so flax names ConvBlock_0 = up_x9_0,
+        # ConvBlock_1 = up_x9_1 (construction order == torch insertion order)
+        x6 = ConvBlock(self.num_ch_dec[0])(x9)
+        x6 = ConvBlock(self.num_ch_dec[0])(upsample2x_nearest(x6))
         head = lambda t: nn.sigmoid(Conv3x3(self.num_output_channels)(t))
         return [head(x6), head(x9), head(x18), head(x36)]
