@@ -146,3 +146,57 @@ def test_pose_ate_zero_for_gt():
     inv_rel = np.asarray([np.linalg.inv(T) for T in rel])
     glob = accumulate_global_poses(inv_rel)
     np.testing.assert_allclose(glob[:, :3, 3], gt[:, :3, 3], atol=1e-6)
+
+
+def test_euler_szxy_matches_reference_transformations(rng_np):
+    """euler_from_matrix_szxy vs the reference's vendored Gohlke
+    transformations.py loaded at test time (axes='szxy', the odometry RPY
+    plot convention)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_tr", "/root/reference/mono/tools/transformations.py"
+    )
+    tr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tr)
+
+    from tripled_tpu.tools.transformations import euler_from_matrix_szxy
+
+    for _ in range(50):
+        q = rng_np.randn(4)
+        q /= np.linalg.norm(q)
+        M = tr.quaternion_matrix(q)
+        ref = tr.euler_from_matrix(M, axes="szxy")
+        got = euler_from_matrix_szxy(M)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_odometry_plot_suite_artifacts(tmp_path, rng_np):
+    """evaluate_odometry(out_dir=...) writes the full devkit artifact set
+    (`kitti_evaluation_toolkit.py:203-553`)."""
+    import os
+
+    from tripled_tpu.eval.odometry import evaluate_odometry
+
+    n = 300
+    t = np.linspace(0, 6 * np.pi, n)
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = 120 * np.sin(t / 6)
+    gt[:, 2, 3] = np.linspace(0, 900, n)
+    gt[:, 1, 3] = 0.3 * np.sin(t)
+    pred = gt.copy()
+    pred[:, :3, 3] *= 0.8  # scale drift (mono ambiguity)
+    pred[:, 0, 3] += rng_np.randn(n).cumsum() * 0.05
+
+    result = evaluate_odometry(gt, pred, out_dir=str(tmp_path), seq_name="09")
+    assert np.isfinite(result["t_err_percent"])
+    for suffix in (
+        "stats.txt", "seq_errors.txt", "xyz.png", "xyz.pdf", "rpy.png",
+        "rpy.pdf", "path.png", "path.pdf", "path_3D.png", "path_3D.pdf",
+        "error_seg.png", "error_speed.png",
+    ):
+        p = tmp_path / f"09_{suffix}"
+        assert p.exists() and p.stat().st_size > 0, suffix
+    # seq_errors devkit format: 5 columns per line
+    lines = (tmp_path / "09_seq_errors.txt").read_text().splitlines()
+    assert lines and all(len(l.split()) == 5 for l in lines)

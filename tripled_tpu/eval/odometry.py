@@ -112,6 +112,15 @@ def scale_optimize(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return out
 
 
+def save_sequence_errors(errors: list[SegmentError], path: str) -> None:
+    """Per-segment error dump, devkit format: one line per segment
+    `first_frame r_err t_err length speed`
+    (`kitti_evaluation_toolkit.py:184-189`)."""
+    with open(path, "w") as f:
+        for e in errors:
+            f.write(f"{e.first_frame} {e.r_err} {e.t_err} {e.length} {e.speed}\n")
+
+
 def evaluate_odometry(
     gt_poses: np.ndarray,
     pred_poses: np.ndarray,
@@ -138,24 +147,194 @@ def evaluate_odometry(
                 f"r_err {result['r_err_deg_per_m']:.6f} deg/m\n"
                 f"ate_rmse {result['ate_rmse']:.4f} m\n"
             )
-        _plot_trajectory(gt, pred, out_dir, seq_name)
+        save_sequence_errors(
+            errors, os.path.join(out_dir, f"{seq_name}_seq_errors.txt")
+        )
+        write_plot_suite(gt, pred, result, out_dir, seq_name)
     return result
 
 
-def _plot_trajectory(gt, pred, out_dir, seq_name):
-    try:
-        import matplotlib
+# ----------------------------------------------------------------- plot suite
+# The full artifact set of the reference devkit eval
+# (`kitti_evaluation_toolkit.py:203-553`): xyz / rpy traces, 2D path
+# projections, 3D path, per-length and per-speed error curves.
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _save(fig, out_dir, name):
+    import matplotlib.backends.backend_pdf as backend_pdf
+
+    fig.savefig(
+        os.path.join(out_dir, name + ".png"),
+        bbox_inches="tight", pad_inches=0.1,
+    )
+    pdf = backend_pdf.PdfPages(os.path.join(out_dir, name + ".pdf"))
+    fig.tight_layout()
+    pdf.savefig(fig)
+    pdf.close()
+
+
+def plot_xyz(gt, pred, out_dir, seq_name):
+    """x/y/z-vs-frame traces (`kitti_evaluation_toolkit.py:203-241`)."""
+    plt = _mpl()
+    fig, axarr = plt.subplots(3, sharex="col", figsize=(20, 10))
+    labels = ["$x$ (m)", "$y$ (m)", "$z$ (m)"]
+    for i in range(3):
+        axarr[i].plot(pred[:, i, 3], "-", color="b", label="Ours")
+        if gt is not None:
+            axarr[i].plot(gt[:, i, 3], "-", color="r", label="GT")
+        axarr[i].set_ylabel(labels[i])
+        axarr[i].legend(loc="upper right", frameon=True)
+    axarr[0].set_title("XYZ")
+    axarr[2].set_xlabel("index")
+    _save(fig, out_dir, f"{seq_name}_xyz")
+    plt.close(fig)
+
+
+def plot_rpy(gt, pred, out_dir, seq_name):
+    """Euler-angle (szxy, like the reference) traces
+    (`kitti_evaluation_toolkit.py:243-282`)."""
+    from tripled_tpu.tools.transformations import euler_from_matrix_szxy
+
+    plt = _mpl()
+    fig, axarr = plt.subplots(3, sharex="col", figsize=(20, 10))
+    labels = ["$roll$ (deg)", "$pitch$ (deg)", "$yaw$ (deg)"]
+
+    def angles(poses):
+        return np.rad2deg([euler_from_matrix_szxy(p) for p in poses])
+
+    pa = angles(pred)
+    ga = angles(gt) if gt is not None else None
+    for i in range(3):
+        axarr[i].plot(pa[:, i], "-", color="b", label="Ours")
+        if ga is not None:
+            axarr[i].plot(ga[:, i], "-", color="r", label="GT")
+        axarr[i].set_ylabel(labels[i])
+        axarr[i].legend(loc="upper right", frameon=True)
+    axarr[0].set_title("PRY")
+    axarr[2].set_xlabel("index")
+    _save(fig, out_dir, f"{seq_name}_rpy")
+    plt.close(fig)
+
+
+def _square_limits(ax):
+    xlim, ylim = ax.get_xlim(), ax.get_ylim()
+    xm, ym = np.mean(xlim), np.mean(ylim)
+    r = max(
+        abs(lim - m) for lims, m in ((xlim, xm), (ylim, ym)) for lim in lims
+    )
+    ax.set_xlim([xm - r, xm + r])
+    ax.set_ylim([ym - r, ym + r])
+
+
+def plot_path_2d(gt, pred, out_dir, seq_name):
+    """xz / xy / yz path projections (`kitti_evaluation_toolkit.py:284-364`)."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(20, 6), dpi=100)
+    planes = [(0, 2, "x (m)", "z (m)"), (0, 1, "x (m)", "y (m)"),
+              (1, 2, "y (m)", "z (m)")]
+    for n, (a, b, xl, yl) in enumerate(planes, start=1):
+        ax = fig.add_subplot(1, 3, n)
+        if gt is not None:
+            ax.plot(gt[:, a, 3], gt[:, b, 3], "r-", label="Ground Truth")
+        ax.plot(pred[:, a, 3], pred[:, b, 3], "b-", label="Ours")
+        ax.plot(0, 0, "ko", label="Start Point")
+        ax.legend(loc="upper right", prop={"size": 10})
+        ax.set_xlabel(xl, fontsize=10)
+        ax.set_ylabel(yl, fontsize=10)
+        _square_limits(ax)
+    _save(fig, out_dir, f"{seq_name}_path")
+    plt.close(fig)
+
+
+def plot_path_3d(gt, pred, out_dir, seq_name):
+    """3D path (`kitti_evaluation_toolkit.py:366-424`)."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(8, 8), dpi=110)
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(pred[:, 0, 3], pred[:, 2, 3], pred[:, 1, 3], "b-", label="Ours")
+    if gt is not None:
+        ax.plot(gt[:, 0, 3], gt[:, 2, 3], gt[:, 1, 3], "r-",
+                label="Ground Truth")
+    ax.plot([0], [0], [0], "ko", label="Start Point")
+    lims = [ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()]
+    means = [np.mean(l) for l in lims]
+    r = max(abs(lim - m) for ls, m in zip(lims, means) for lim in ls)
+    ax.set_xlim3d([means[0] - r, means[0] + r])
+    ax.set_ylim3d([means[1] - r, means[1] + r])
+    ax.set_zlim3d([means[2] - r, means[2] + r])
+    ax.legend()
+    ax.set_xlabel("x (m)", fontsize=8)
+    ax.set_ylabel("z (m)", fontsize=8)
+    ax.set_zlabel("y (m)", fontsize=8)
+    ax.view_init(elev=20.0, azim=-35)
+    _save(fig, out_dir, f"{seq_name}_path_3D")
+    plt.close(fig)
+
+
+def _plot_error_pair(xs, ts, rs, xlabel, out_dir, name):
+    plt = _mpl()
+    fig = plt.figure(figsize=(15, 6), dpi=100)
+    ax = fig.add_subplot(1, 2, 1)
+    ax.plot(xs, ts, "ks-")
+    ax.axis([min(xs), max(xs), 0, max(ts) * 1.1 or 1])
+    ax.set_xlabel(xlabel, fontsize=15)
+    ax.set_ylabel("Translation Error (%)", fontsize=15)
+    ax = fig.add_subplot(1, 2, 2)
+    ax.plot(xs, rs, "ks-")
+    ax.axis([min(xs), max(xs), 0, max(rs) * 1.1 or 1])
+    ax.set_xlabel(xlabel, fontsize=15)
+    ax.set_ylabel("Rotation Error (deg/m)", fontsize=15)
+    fig.savefig(
+        os.path.join(out_dir, name + ".png"),
+        bbox_inches="tight", pad_inches=0.1,
+    )
+    plt.close(fig)
+
+
+def plot_error_segment(per_length: dict, out_dir, seq_name):
+    """(`kitti_evaluation_toolkit.py:426-455`)."""
+    if not per_length:
+        return
+    xs = sorted(per_length)
+    _plot_error_pair(
+        xs,
+        [per_length[x]["t_err_percent"] for x in xs],
+        [per_length[x]["r_err_deg_per_m"] for x in xs],
+        "Path Length (m)", out_dir, f"{seq_name}_error_seg",
+    )
+
+
+def plot_error_speed(per_speed: dict, out_dir, seq_name):
+    """x-axis in km/h like the devkit (`kitti_evaluation_toolkit.py:457-486`)."""
+    if not per_speed:
+        return
+    xs = sorted(per_speed)
+    _plot_error_pair(
+        [x * 3.6 for x in xs],
+        [per_speed[x]["t_err_percent"] for x in xs],
+        [per_speed[x]["r_err_deg_per_m"] for x in xs],
+        "Speed (km/h)", out_dir, f"{seq_name}_error_speed",
+    )
+
+
+def write_plot_suite(gt, pred, result, out_dir, seq_name):
+    """All devkit artifacts; skipped silently when matplotlib is absent."""
+    try:
+        _mpl()
     except Exception:
         return
-    fig, ax = plt.subplots(figsize=(6, 6))
-    ax.plot(gt[:, 0, 3], gt[:, 2, 3], "k-", label="GT")
-    ax.plot(pred[:, 0, 3], pred[:, 2, 3], "b-", label="pred")
-    ax.set_xlabel("x [m]")
-    ax.set_ylabel("z [m]")
-    ax.legend()
-    ax.set_aspect("equal")
-    fig.savefig(os.path.join(out_dir, f"{seq_name}_traj.png"), dpi=100)
-    plt.close(fig)
+    plot_xyz(gt, pred, out_dir, seq_name)
+    plot_rpy(gt, pred, out_dir, seq_name)
+    plot_path_2d(gt, pred, out_dir, seq_name)
+    plot_path_3d(gt, pred, out_dir, seq_name)
+    plot_error_segment(result.get("per_length", {}), out_dir, seq_name)
+    plot_error_speed(result.get("per_speed", {}), out_dir, seq_name)

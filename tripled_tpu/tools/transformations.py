@@ -83,6 +83,23 @@ def euler_from_matrix(M: np.ndarray):
     return roll, pitch, yaw
 
 
+def euler_from_matrix_szxy(M: np.ndarray):
+    """Gohlke euler_from_matrix(M, axes='szxy') — the convention the
+    reference's odometry RPY plot uses (`kitti_evaluation_toolkit.py:270`).
+    axes tuple (2, 0, 0, 0): i=2, j=0, k=1, parity=0, frame=0."""
+    R = np.asarray(M, float)[:3, :3]
+    cy = np.sqrt(R[2, 2] * R[2, 2] + R[0, 2] * R[0, 2])
+    if cy > 1e-8:
+        ax = np.arctan2(R[1, 0], R[1, 1])
+        ay = np.arctan2(-R[1, 2], cy)
+        az = np.arctan2(R[0, 2], R[2, 2])
+    else:
+        ax = np.arctan2(-R[0, 1], R[0, 0])
+        ay = np.arctan2(-R[1, 2], cy)
+        az = 0.0
+    return ax, ay, az
+
+
 def quaternion_from_euler(roll, pitch, yaw) -> np.ndarray:
     return quaternion_from_matrix(euler_matrix(roll, pitch, yaw))
 

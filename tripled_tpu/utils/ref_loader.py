@@ -234,6 +234,9 @@ def default_opts(
         disp_norm=not stereo,
         perception_weight=1e-3,
         smoothness_weight=1e-3,
+        # mono_baseline names its smoothness weight differently
+        # (mono_baseline/net.py:98); same 1e-3 value
+        disparity_smoothness=1e-3,
     )
     opts.update(extra)
     return opts
