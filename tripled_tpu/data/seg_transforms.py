@@ -167,34 +167,41 @@ class ColorJitter:
         self.fraction = fraction
 
     def __call__(self, s, rng):
+        # parameter ranges follow mytransforms.py:834-845: brightness /
+        # contrast / saturation clamp the lower bound at 0, hue clamps to
+        # [-0.5, 0.5], and gamma draws from [1, 1+gamma] (NOT symmetric)
         if rng.rand() > self.fraction:
             return s
         s = dict(s)
         x = s["image"]
-        x = T.adjust_brightness(x, rng.uniform(1 - self.b, 1 + self.b))
-        x = T.adjust_contrast(x, rng.uniform(1 - self.c, 1 + self.c))
-        x = T.adjust_saturation(x, rng.uniform(1 - self.s, 1 + self.s))
-        x = T.adjust_hue(x, rng.uniform(-self.h, self.h))
+        x = T.adjust_brightness(x, rng.uniform(max(0, 1 - self.b), 1 + self.b))
+        x = T.adjust_contrast(x, rng.uniform(max(0, 1 - self.c), 1 + self.c))
+        x = T.adjust_saturation(x, rng.uniform(max(0, 1 - self.s), 1 + self.s))
+        x = T.adjust_hue(x, rng.uniform(max(-0.5, -self.h), min(self.h, 0.5)))
         if self.gamma:
-            g = rng.uniform(1 - self.gamma, 1 + self.gamma)
+            g = rng.uniform(1, 1 + self.gamma)
             x = np.clip(x, 0, 1) ** g
         s["image"] = x.astype(np.float32)
         return s
 
 
 class GaussianBlur:
+    """Random-radius blur with prob `p` (`mytransforms.py:854-884`:
+    radius ~ U(0, max_rad))."""
+
     def __init__(self, radius=1.0, p=0.5):
         self.radius = radius
         self.p = p
 
     def __call__(self, s, rng):
+        r = rng.uniform(0, self.radius)
         if rng.rand() > self.p:
             return s
         from PIL import ImageFilter
 
         s = dict(s)
         img = Image.fromarray((s["image"] * 255).astype(np.uint8))
-        img = img.filter(ImageFilter.GaussianBlur(self.radius))
+        img = img.filter(ImageFilter.GaussianBlur(r))
         s["image"] = np.asarray(img, np.float32) / 255.0
         return s
 

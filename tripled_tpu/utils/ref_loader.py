@@ -15,6 +15,7 @@ torch-vs-jax parity comparisons (metric trajectories, golden tests).
 from __future__ import annotations
 
 import importlib
+import importlib.util
 import sys
 import types
 
@@ -92,10 +93,18 @@ def _install_torchvision_stub():
             f"no network egress in this environment; cannot fetch {url}"
         )
 
+    def resize(img, size, interpolation=None):
+        # torchvision F.resize on a PIL image: size is (h, w)
+        from PIL import Image as PILImage
+
+        interp = PILImage.BILINEAR if interpolation is None else interpolation
+        return img.resize((int(size[1]), int(size[0])), interp)
+
     transforms.Grayscale = Grayscale
     transforms.RandomCrop = RandomCrop
     transforms.functional = tf_functional
     tf_functional.crop = crop
+    tf_functional.resize = resize
     models_utils.load_state_dict_from_url = load_state_dict_from_url
     models.utils = models_utils
     tv.transforms = transforms
@@ -105,6 +114,52 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms.functional"] = tf_functional
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.utils"] = models_utils
+
+
+def _install_cv2_stub():
+    """mytransforms.py imports cv2 but only its BGR↔RGB conversion is needed
+    for the transform paths we golden-test."""
+    if "cv2" in sys.modules:
+        return
+    try:
+        import cv2  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import numpy as np
+
+    cv2 = types.ModuleType("cv2")
+    cv2.COLOR_BGR2RGB = 4
+    cv2.COLOR_RGB2BGR = 4
+
+    def cvtColor(img, code):
+        if code == 4:
+            return np.ascontiguousarray(np.asarray(img)[:, :, ::-1])
+        raise NotImplementedError(code)
+
+    cv2.cvtColor = cvtColor
+    sys.modules["cv2"] = cv2
+
+
+def load_ref_mytransforms():
+    """Load /root/reference/mono/datasets/mytransforms.py for golden tests
+    (needs the torchvision + cv2 stubs)."""
+    _install_torchvision_stub()
+    _install_cv2_stub()
+    import numpy as np
+
+    # the reference uses the np.float/np.int aliases removed in numpy 2
+    if not hasattr(np, "float"):
+        np.float = float
+    if not hasattr(np, "int"):
+        np.int = int
+    spec = importlib.util.spec_from_file_location(
+        "ref_mytransforms", "/root/reference/mono/datasets/mytransforms.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _install_yacs_stub():
