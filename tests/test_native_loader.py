@@ -24,14 +24,34 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_matches_pil(png_path):
+    """Byte-exact vs PIL (fixed-point two-pass resampler, VERDICT r1 #9)."""
     nat = nl.load_image(png_path, 64, 192)
     pil = np.asarray(
-        Image.open(png_path).convert("RGB").resize((192, 64), Image.LANCZOS),
-        np.float32,
-    ) / 255.0
-    assert np.abs(nat - pil).mean() < 5e-3
+        Image.open(png_path).convert("RGB").resize((192, 64), Image.LANCZOS)
+    )
+    np.testing.assert_array_equal(
+        np.round(nat * 255).astype(np.uint8), pil
+    )
     assert nat.shape == (64, 192, 3)
     assert nat.min() >= 0 and nat.max() <= 1
+
+
+def test_matches_pil_many_shapes(png_path):
+    """Down/up/identity scales all byte-exact, flip included."""
+    src = Image.open(png_path).convert("RGB")
+    for oh, ow in [(32, 96), (96, 320), (128, 480), (50, 128)]:
+        nat = nl.load_image(png_path, oh, ow)
+        pil = np.asarray(src.resize((ow, oh), Image.LANCZOS))
+        np.testing.assert_array_equal(
+            np.round(nat * 255).astype(np.uint8), pil, err_msg=f"{oh}x{ow}"
+        )
+        natf = nl.load_image(png_path, oh, ow, flip=True)
+        pilf = np.asarray(
+            src.transpose(Image.FLIP_LEFT_RIGHT).resize((ow, oh), Image.LANCZOS)
+        )
+        np.testing.assert_array_equal(
+            np.round(natf * 255).astype(np.uint8), pilf, err_msg=f"flip {oh}x{ow}"
+        )
 
 
 def test_flip(png_path):

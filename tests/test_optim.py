@@ -58,3 +58,33 @@ def test_paramwise_options():
     nmag = float(np.abs(np.asarray(updates["BatchNorm_0"]["bias"])).mean())
     np.testing.assert_allclose(bmag, 2 * kmag, rtol=1e-5)
     np.testing.assert_allclose(nmag, kmag, rtol=1e-5)  # norm biases excluded
+
+
+def test_weight_decay_coupled_matches_torch_adam():
+    """wd is coupled into the gradient BEFORE the Adam moments (torch Adam
+    L2 semantics, `mono/apis/trainer.py:77-144`), not decoupled AdamW."""
+    import jax
+    import torch
+
+    wd, lr = 0.1, 1e-2
+    w0 = np.asarray([0.7, -1.3, 2.1], np.float32)
+    g0 = np.asarray([0.3, 0.5, -0.2], np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    for _ in range(3):
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g0.copy())
+        topt.step()
+
+    cfg = OptimConfig(learning_rate=lr, weight_decay=wd, warmup_iters=1,
+                      warmup_ratio=1.0, grad_clip_norm=1e9)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g0)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=2e-5, atol=2e-6
+    )

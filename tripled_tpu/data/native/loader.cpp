@@ -132,100 +132,126 @@ bool decode_jpeg(const uint8_t* data, size_t size, Image8* out) {
 }
 
 // ------------------------------------------------------------ Lanczos-3
+//
+// Byte-exact reproduction of PIL's two-pass fixed-point resampler
+// (Pillow Resample.c semantics: horizontal pass to a uint8 intermediate,
+// then vertical pass, 22-bit fixed-point coefficients with round-half-away
+// conversion and clip8 output). The reference loads frames with
+// `pil_loader` + `Image.resize(..., LANCZOS)` (`mono/datasets/
+// mono_dataset.py:18-23,74`); matching PIL bit-for-bit keeps the training
+// distribution identical to the reference pipeline.
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // PIL PRECISION_BITS = 22
+
+inline uint8_t clip8(int32_t in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+inline double sinc_filter(double x) {
+  if (x == 0.0) return 1.0;
+  x = x * M_PI;
+  return std::sin(x) / x;
+}
 
 inline double lanczos3(double x) {
-  if (x <= -3.0 || x >= 3.0) return 0.0;
-  if (x == 0.0) return 1.0;
-  double px = M_PI * x;
-  return 3.0 * std::sin(px) * std::sin(px / 3.0) / (px * px);
+  if (-3.0 <= x && x < 3.0) return sinc_filter(x) * sinc_filter(x / 3.0);
+  return 0.0;
 }
 
 struct FilterBank {
-  int taps;                    // taps per output element
-  std::vector<int> start;      // first source index per output element
-  std::vector<float> weights;  // taps weights per output element
+  int ksize;                    // taps per output element
+  std::vector<int> xmin;        // first source index per output element
+  std::vector<int> xmax;        // tap count per output element
+  std::vector<int32_t> coeffs;  // ksize fixed-point weights per element
 };
 
-// PIL-convention separable filter: support scales with the downscale factor
+// PIL precompute_coeffs + normalize_coeffs_8bpc, including the exact
+// window rounding `(int)(center ± support + 0.5)` and the /sum(w)
+// normalization in double before fixed-point conversion.
 FilterBank build_filter(int in_size, int out_size) {
   FilterBank fb;
   double scale = double(in_size) / out_size;
   double filterscale = std::max(scale, 1.0);
   double support = 3.0 * filterscale;
-  fb.taps = int(std::ceil(support)) * 2 + 1;
-  fb.start.resize(out_size);
-  fb.weights.assign(size_t(out_size) * fb.taps, 0.f);
+  fb.ksize = int(std::ceil(support)) * 2 + 1;
+  fb.xmin.resize(out_size);
+  fb.xmax.resize(out_size);
+  fb.coeffs.assign(size_t(out_size) * fb.ksize, 0);
+  std::vector<double> k(fb.ksize);
+  double ss = 1.0 / filterscale;
   for (int i = 0; i < out_size; ++i) {
     double center = (i + 0.5) * scale;
-    int lo = std::max(0, int(center - support + 0.5));
-    int hi = std::min(in_size, int(center + support + 0.5));
-    fb.start[i] = lo;
+    int lo = int(center - support + 0.5);
+    if (lo < 0) lo = 0;
+    int hi = int(center + support + 0.5);
+    if (hi > in_size) hi = in_size;
+    hi -= lo;
     double sum = 0.0;
-    std::vector<double> tmp(hi - lo);
-    for (int j = lo; j < hi; ++j) {
-      double wgt = lanczos3((j - center + 0.5) / filterscale);
-      tmp[j - lo] = wgt;
-      sum += wgt;
+    for (int x = 0; x < hi; ++x) {
+      double w = lanczos3((x + lo - center + 0.5) * ss);
+      k[x] = w;
+      sum += w;
     }
-    for (int j = 0; j < hi - lo; ++j) {
-      fb.weights[size_t(i) * fb.taps + j] = float(tmp[j] / (sum ? sum : 1.0));
+    int32_t* kk = &fb.coeffs[size_t(i) * fb.ksize];
+    for (int x = 0; x < hi; ++x) {
+      double w = (sum != 0.0) ? k[x] / sum : k[x];
+      kk[x] = int32_t(w < 0 ? -0.5 + w * (1 << kPrecisionBits)
+                            : 0.5 + w * (1 << kPrecisionBits));
     }
+    fb.xmin[i] = lo;
+    fb.xmax[i] = hi;
   }
   return fb;
 }
 
-// resize RGB8 (h,w) -> float32 (oh,ow), [0,1], optional hflip
+// resize RGB8 (h,w) -> float32 (oh,ow), [0,1], optional hflip.
+// Two quantized passes exactly like PIL: horizontal first, uint8 between.
 void resize_lanczos(const Image8& img, int oh, int ow, bool flip, float* out) {
   FilterBank fx = build_filter(img.w, ow);
   FilterBank fy = build_filter(img.h, oh);
 
-  // horizontal pass: (h, ow, 3) float
-  std::vector<float> tmp(size_t(img.h) * ow * 3);
+  // horizontal pass: (h, ow, 3) uint8
+  std::vector<uint8_t> tmp(size_t(img.h) * ow * 3);
   for (int y = 0; y < img.h; ++y) {
     const uint8_t* row = img.rgb.data() + size_t(y) * img.w * 3;
-    float* trow = tmp.data() + size_t(y) * ow * 3;
+    uint8_t* trow = tmp.data() + size_t(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
-      const float* wgt = &fx.weights[size_t(x) * fx.taps];
-      int s0 = fx.start[x];
-      float r = 0, g = 0, b = 0;
-      for (int t = 0; t < fx.taps; ++t) {
-        int sx = s0 + t;
-        if (sx >= img.w) break;
-        float wv = wgt[t];
-        if (wv == 0.f) continue;
-        const uint8_t* px = row + size_t(sx) * 3;
-        r += wv * px[0];
-        g += wv * px[1];
-        b += wv * px[2];
+      const int32_t* kk = &fx.coeffs[size_t(x) * fx.ksize];
+      const uint8_t* src = row + size_t(fx.xmin[x]) * 3;
+      int32_t ss0 = 1 << (kPrecisionBits - 1);
+      int32_t ss1 = ss0, ss2 = ss0;
+      for (int t = 0; t < fx.xmax[x]; ++t) {
+        ss0 += src[t * 3 + 0] * kk[t];
+        ss1 += src[t * 3 + 1] * kk[t];
+        ss2 += src[t * 3 + 2] * kk[t];
       }
-      trow[x * 3 + 0] = r;
-      trow[x * 3 + 1] = g;
-      trow[x * 3 + 2] = b;
+      trow[x * 3 + 0] = clip8(ss0);
+      trow[x * 3 + 1] = clip8(ss1);
+      trow[x * 3 + 2] = clip8(ss2);
     }
   }
-  // vertical pass + normalize + optional flip
+  // vertical pass + float conversion + optional flip
   const float inv255 = 1.0f / 255.0f;
   for (int y = 0; y < oh; ++y) {
-    const float* wgt = &fy.weights[size_t(y) * fy.taps];
-    int s0 = fy.start[y];
+    const int32_t* kk = &fy.coeffs[size_t(y) * fy.ksize];
+    const uint8_t* src0 = tmp.data() + size_t(fy.xmin[y]) * ow * 3;
     float* orow = out + size_t(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
-      float acc[3] = {0, 0, 0};
-      for (int t = 0; t < fy.taps; ++t) {
-        int sy = s0 + t;
-        if (sy >= img.h) break;
-        float wv = wgt[t];
-        if (wv == 0.f) continue;
-        const float* px = tmp.data() + (size_t(sy) * ow + x) * 3;
-        acc[0] += wv * px[0];
-        acc[1] += wv * px[1];
-        acc[2] += wv * px[2];
+      int32_t ss0 = 1 << (kPrecisionBits - 1);
+      int32_t ss1 = ss0, ss2 = ss0;
+      for (int t = 0; t < fy.xmax[y]; ++t) {
+        const uint8_t* px = src0 + (size_t(t) * ow + x) * 3;
+        ss0 += px[0] * kk[t];
+        ss1 += px[1] * kk[t];
+        ss2 += px[2] * kk[t];
       }
       int ox = flip ? (ow - 1 - x) : x;
       float* dst = orow + size_t(ox) * 3;
-      dst[0] = std::min(std::max(acc[0] * inv255, 0.f), 1.f);
-      dst[1] = std::min(std::max(acc[1] * inv255, 0.f), 1.f);
-      dst[2] = std::min(std::max(acc[2] * inv255, 0.f), 1.f);
+      dst[0] = clip8(ss0) * inv255;
+      dst[1] = clip8(ss1) * inv255;
+      dst[2] = clip8(ss2) * inv255;
     }
   }
 }

@@ -69,6 +69,10 @@ def _grad_y(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _edge_weighted(term: jnp.ndarray, img_grad: jnp.ndarray, a: float) -> jnp.ndarray:
+    if term.size == 0:
+        # degenerate map (< 3 px along the differenced axis): the gradient
+        # is empty and jnp.mean would yield nan; the term contributes 0
+        return jnp.zeros((), term.dtype)
     w = jnp.exp(-a * jnp.mean(jnp.abs(img_grad), axis=-1, keepdims=True))
     return jnp.mean(jnp.abs(term) * w)
 

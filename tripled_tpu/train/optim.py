@@ -67,12 +67,17 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int):
                                   or cfg.norm_decay_mult != 1.0))
     )
 
+    # Weight decay is COUPLED (added to the gradient before the Adam moment
+    # estimates), matching torch.optim.Adam's L2 semantics the reference uses
+    # (`mono/apis/trainer.py:77-144`, torch Adam `weight_decay`), not AdamW.
+    # All shipped reference configs set wd=0, but paramwise decay multipliers
+    # flow through this path too.
     if not uses_paramwise:
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm),
-            optax.scale_by_adam(),
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
             else optax.identity(),
+            optax.scale_by_adam(),
             optax.scale_by_learning_rate(schedule),
         )
         return tx, schedule
@@ -102,8 +107,8 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int):
 
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.scale_by_adam(),
         paramwise_wd() if cfg.weight_decay else optax.identity(),
+        optax.scale_by_adam(),
         paramwise_lr_mult(),
         optax.scale_by_learning_rate(schedule),
     )
