@@ -92,6 +92,10 @@ class ModelConfig:
     use_hr_depth: bool = False
     use_diffnet: bool = False
     depth_use_shuffle: bool = False
+    # CRP DepthDecoder dropout on the two deepest skips
+    # (mono_fm/depth_decoder.py:13-14,56-57). 0.0 for deterministic
+    # trajectory-parity studies (cli/parity_compare.py --trajectory).
+    depth_dropout_rate: float = 0.5
 
     # Warp sampling convention. The reference normalizes pixel coords by
     # (W-1, H-1) (mono_fm_joint/net.py:189-192 — the align_corners=True

@@ -164,7 +164,9 @@ class TripleDNet(nn.Module):
             self.depth_decoder = HRDepthDecoder(tuple(depth_ch))
         else:
             self.depth_decoder = DepthDecoder(
-                tuple(depth_ch), use_shuffle=c.depth_use_shuffle
+                tuple(depth_ch),
+                use_shuffle=c.depth_use_shuffle,
+                dropout_rate=c.depth_dropout_rate,
             )
 
         self.pose_encoder = PoseEncoder(c.pose_num_layers, 2, remat=c.remat)
