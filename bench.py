@@ -211,7 +211,7 @@ def main():
 
     if os.environ.get("BENCH_SKIP_FLAGSHIP", "0") != "1":
         fips, fbatch = _with_oom_fallback(
-            bench_flagship, int(os.environ.get("BENCH_FLAGSHIP_BATCH", "6")),
+            bench_flagship, int(os.environ.get("BENCH_FLAGSHIP_BATCH", "8")),
             steps,
         )
         base_fs = _baseline("tripleD_r50_320x1024")

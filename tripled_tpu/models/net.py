@@ -163,7 +163,11 @@ class TripleDNet(nn.Module):
 
             self.depth_decoder = HRDepthDecoder(tuple(depth_ch))
         else:
-            self.depth_decoder = DepthDecoder(
+            depth_decoder_cls = (
+                nn.remat(DepthDecoder, static_argnums=(2,))
+                if c.remat else DepthDecoder
+            )
+            self.depth_decoder = depth_decoder_cls(
                 tuple(depth_ch),
                 use_shuffle=c.depth_use_shuffle,
                 dropout_rate=c.depth_dropout_rate,
@@ -174,8 +178,15 @@ class TripleDNet(nn.Module):
 
         if c.use_extractor:
             self.extractor = Extractor(c.extractor_num_layers, remat=c.remat)
+        # With remat on, rematerialize the thin full-resolution decoders
+        # too: their 16/32-channel @HxW activations are where XLA's
+        # remat-compression copies pad catastrophically (up to 10.7x layout
+        # expansion at 320x1024 — see BASELINE.md round-2 notes), and
+        # recomputing a thin decoder is far cheaper than storing it.
+        image_decoder_cls = nn.remat(ImageDecoder) if c.remat else ImageDecoder
+        color_decoder_cls = nn.remat(ColorDecoder) if c.remat else ColorDecoder
         if c.use_image_decoder:
-            self.image_decoder = ImageDecoder(3)
+            self.image_decoder = image_decoder_cls(3)
 
         # color branch (disentangle)
         if self._disentangled and (c.auto_res_weight > 0 or c.use_pfp):
@@ -197,7 +208,7 @@ class TripleDNet(nn.Module):
                     ch // 2 if flag else ch
                     for ch, flag in zip(enc_ch, c.disentangle_layers)
                 ]
-            self.color_decoder = ColorDecoder(
+            self.color_decoder = color_decoder_cls(
                 3,
                 skip_connection_multiplier=c.skip_connection_multiplier,
                 skip_layers=tuple(bool(s) for s in c.color_skip_layers),
@@ -213,12 +224,12 @@ class TripleDNet(nn.Module):
         # separate-encoder distill variants
         if c.sep_colorize:
             self.colorize_encoder = Extractor(c.colorize_num_layers)
-            self.colorize_decoder = ColorDecoder(
+            self.colorize_decoder = color_decoder_cls(
                 2, skip_connection_multiplier=c.skip_connection_multiplier
             )
         if c.sep_inpaint:
             self.inpaint_encoder = Extractor(c.inpaint_num_layers)
-            self.inpaint_decoder = ColorDecoder(
+            self.inpaint_decoder = color_decoder_cls(
                 3, skip_connection_multiplier=c.skip_connection_multiplier
             )
 
@@ -242,7 +253,9 @@ class TripleDNet(nn.Module):
             depth_emb = [
                 skip(f, train=train) for skip, f in zip(self.depth_skips, scene)
             ]
-        disps = self.depth_decoder(depth_emb, train=train)
+        # positional `train`: the remat wrapper's static_argnums can't see
+        # kwargs (jax.checkpoint semantics)
+        disps = self.depth_decoder(depth_emb, train)
 
         if not train:
             return disps
