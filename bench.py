@@ -1,9 +1,9 @@
 """Benchmark: single-chip training throughput (imgs/sec).
 
 Measures TWO configs (VERDICT r1 item 4):
-  - mono_fm R50/R18 @192x640 (cfg_kitti_fm.py geometry, bs24 single-chip
-    sweet spot) — primary metric, comparable across rounds.
-  - TripleD flagship mono_fm_joint_inpaint_disentangle R50 @320x1024 bs6
+  - mono_fm R50/R18 @192x640 (cfg_kitti_fm.py geometry, bs48+remat
+    single-chip sweet spot) — primary metric, comparable across rounds.
+  - TripleD flagship mono_fm_joint_inpaint_disentangle R50 @320x1024 bs8
     with remat (the paper config, cfg_kitti_tripleD.py:5-7,23-53) — in the
     `also` field of the same JSON line.
 
@@ -15,8 +15,9 @@ publishes no numbers and no GPU exists here — BASELINE.md). If that file is
 absent the ratio is null, never an assumed constant. `baseline_source`
 labels the denominator explicitly.
 
-Env overrides: BENCH_BATCH (default 24), BENCH_STEPS (default 20),
-BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_SKIP_FLAGSHIP=1.
+Env overrides: BENCH_BATCH (default 48), BENCH_STEPS (default 20),
+BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 1),
+BENCH_SKIP_FLAGSHIP=1.
 """
 
 import json
@@ -113,7 +114,10 @@ def bench_mono_fm(batch, steps):
         width=640,
         perception_weight=1e-3,
         use_pallas_photometric=os.environ.get("BENCH_PALLAS", "0") == "1",
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        # remat default ON: recomputing activations frees HBM for 2x the
+        # batch (bs48 fits, 8685 imgs/s vs 4094 @bs24 f32-saved) and the
+        # ~7 ms host-dispatch floor makes images-per-dispatch the lever
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
     )
     state, step, inputs = _build(cfg, batch)
     dt = _time_steps(state, step, inputs, steps)
@@ -175,7 +179,7 @@ def main():
     enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "train")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
 
     if mode == "infer":
         fps = bench_infer(steps=max(steps, 20))
@@ -195,7 +199,8 @@ def main():
     ips, used_batch = _with_oom_fallback(bench_mono_fm, batch, steps)
     base_fm = _baseline("mono_fm_r50_192x640")
     result = {
-        "metric": f"train_imgs_per_sec_mono_fm_r50_bs{used_batch}_192x640",
+        "metric": f"train_imgs_per_sec_mono_fm_r50_bs{used_batch}_192x640"
+        + ("_remat" if os.environ.get("BENCH_REMAT", "1") == "1" else ""),
         "value": round(ips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": _vs(ips, base_fm),
