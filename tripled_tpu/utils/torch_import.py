@@ -407,7 +407,8 @@ def import_reference_checkpoint(ckpt_path_or_sd, variables: dict) -> dict:
     )
 
     def enc_key(tree):
-        return next(k for k in tree if k.startswith("ResNetFeatures"))
+        # remat models wrap the encoder as CheckpointResNetFeatures_*
+        return next(k for k in tree if "ResNetFeatures" in k)
 
     de = filter_prefix(sd, "DepthEncoder.encoder")
     if de and "depth_encoder" in params:
