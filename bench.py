@@ -86,7 +86,10 @@ def _build(cfg, batch):
     return state, step, inputs
 
 
-def _time_steps(state, step, inputs, steps):
+def _time_steps(state, step, inputs, steps, windows=3):
+    """Best-of-N timing windows: the 1-core host's dispatch floor wobbles
+    ~2x under background load (BASELINE.md), so the fastest window is the
+    reproducible number."""
     import jax
 
     rng = jax.random.PRNGKey(0)
@@ -94,12 +97,15 @@ def _time_steps(state, step, inputs, steps):
         rng, r = jax.random.split(rng)
         state, metrics = step(state, inputs, r)
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        rng, r = jax.random.split(rng)
-        state, metrics = step(state, inputs, r)
-    jax.block_until_ready(state.params)
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rng, r = jax.random.split(rng)
+            state, metrics = step(state, inputs, r)
+        jax.block_until_ready(state.params)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_mono_fm(batch, steps):
@@ -154,11 +160,14 @@ def bench_infer(steps=50):
     fn = jax.jit(fn)
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return steps / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return steps / best
 
 
 def _with_oom_fallback(fn, batch, steps):

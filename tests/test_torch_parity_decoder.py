@@ -145,10 +145,12 @@ def test_pose_decoder_matches_reference(rng_np):
     np.testing.assert_allclose(np.asarray(t), rt.numpy(), rtol=1e-4, atol=1e-6)
 
 
-def test_import_reference_checkpoint_full_model(rng_np, tmp_path):
+@pytest.mark.parametrize("remat", [False, True])
+def test_import_reference_checkpoint_full_model(rng_np, tmp_path, remat):
     """A synthetic reference-format .pth (DepthEncoder/DepthDecoder/
     PoseEncoder/PoseDecoder prefixes) loads into TripleDNet and reproduces
-    the torch depth forward."""
+    the torch depth forward — including into remat configs, whose encoder
+    scope is renamed CheckpointResNetFeatures_* by nn.remat."""
     from tripled_tpu.config import ModelConfig
     from tripled_tpu.models.registry import build_model
     from tripled_tpu.utils.inputs import dummy_train_inputs
@@ -176,7 +178,8 @@ def test_import_reference_checkpoint_full_model(rng_np, tmp_path):
     torch.save({"state_dict": sd}, pth)
 
     cfg = ModelConfig(name="mono_baseline", depth_num_layers=18,
-                      height=64, width=96, pose_height=64, pose_width=96)
+                      height=64, width=96, pose_height=64, pose_width=96,
+                      remat=remat)
     model = build_model(cfg)
     inputs = dummy_train_inputs(cfg, 1)
     rngs = {"params": jax.random.PRNGKey(0),
