@@ -37,14 +37,33 @@ def _inputs(B=2, H=64, W=96):
     }
 
 
+def _norm_path(path):
+    """Normalize a key path by stripping nn.remat's Checkpoint scope-name
+    prefix (ResNetFeatures_0 -> CheckpointResNetFeatures_0 etc.), so src
+    and dst leaves are matched BY PATH, not positionally (ADVICE r2: flax
+    flattens in sorted-key order, which the rename can reorder)."""
+    out = []
+    for k in path:
+        s = getattr(k, "key", None)
+        out.append(s.replace("Checkpoint", "") if isinstance(s, str) else k)
+    return tuple(out)
+
+
 def _transplant(src_tree, dst_tree):
-    """Copy src leaves into dst's structure positionally, checking shapes."""
-    src_leaves, _ = jax.tree_util.tree_flatten(src_tree)
-    dst_leaves, dst_def = jax.tree_util.tree_flatten(dst_tree)
-    assert len(src_leaves) == len(dst_leaves)
-    for a, b in zip(src_leaves, dst_leaves):
-        assert a.shape == b.shape, (a.shape, b.shape)
-    return jax.tree_util.tree_unflatten(dst_def, src_leaves)
+    """Copy src leaves into dst's structure, matched by normalized path."""
+    src = {
+        _norm_path(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(src_tree)[0]
+    }
+    dst_flat, dst_def = jax.tree_util.tree_flatten_with_path(dst_tree)
+    assert len(src) == len(dst_flat)
+    leaves = []
+    for p, leaf in dst_flat:
+        key = _norm_path(p)
+        assert key in src, f"no source leaf for {key}"
+        assert src[key].shape == leaf.shape, (key, src[key].shape, leaf.shape)
+        leaves.append(src[key])
+    return jax.tree_util.tree_unflatten(dst_def, leaves)
 
 
 @pytest.mark.parametrize("name", ["mono_fm", "mono_fm_joint_inpaint_disentangle"])

@@ -184,7 +184,8 @@ def run_torch(batches, val_ds, height, width, layers, eval_every, lr_fn):
 
 # ------------------------------------------------------- trajectory parity
 
-def run_trajectory(batches, val_ds, height, width, layers, lr_fn, n_eval=10):
+def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
+                   steps_per_epoch=None, n_eval=10):
     """Same-init trajectory parity: export the torch model's INITIAL weights,
     import them into the jax model (`utils/torch_import.py`), train BOTH on
     the identical batch stream with dropout disabled, and compare (a) the
@@ -241,7 +242,12 @@ def run_trajectory(batches, val_ds, height, width, layers, lr_fn, n_eval=10):
         depth_dropout_rate=0.0,
     )
     model = build_model(cfg)
-    tx, _ = make_optimizer(OptimConfig(), steps_per_epoch=len(batches))
+    # steps_per_epoch must match the schedule lr_fn was built from (the
+    # torch side applies lr_fn directly); the caller passes the FULL batch
+    # count even when only a prefix is replayed here (ADVICE r2).
+    tx, _ = make_optimizer(
+        OptimConfig(), steps_per_epoch=steps_per_epoch or len(batches)
+    )
     state = create_train_state(model, tx, jax.device_put(batches[0]), seed=0)
     imported = import_reference_checkpoint(
         sd0, {"params": state.params, "batch_stats": state.batch_stats}
@@ -450,7 +456,7 @@ def main():
     if args.trajectory:
         result["trajectory"] = run_trajectory(
             batches[: args.trajectory], val_ds, args.height, args.width,
-            args.layers, lr_fn,
+            args.layers, lr_fn, steps_per_epoch=len(batches),
         )
     if not args.skip_ours:
         result["ours"] = run_ours(
