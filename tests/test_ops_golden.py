@@ -163,6 +163,41 @@ def test_grid_sample_vs_torch(rng_np, method):
     np.testing.assert_allclose(np.asarray(got), from_nchw(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("c", [3, 64])
+def test_grid_sample_channel_paths_vs_torch(rng_np, c):
+    """Both gather strategies (<=32ch: one 4-corner patch gather; wide:
+    two row-pair gathers — ops/warp.py round-3 redesign) must match torch
+    exactly, forward and backward."""
+    import jax
+
+    b, h, w = 2, 12, 18
+    img = rng_np.rand(b, h, w, c).astype(np.float32)
+    grid = (rng_np.rand(b, 9, 11, 2).astype(np.float32) * 2.6 - 1.3) + 1e-4
+
+    timg = to_nchw(img).requires_grad_(True)
+    ref = F.grid_sample(
+        timg, torch.from_numpy(grid), mode="bilinear",
+        padding_mode="border", align_corners=True,
+    )
+    ref.sum().backward()
+
+    def f(x):
+        return ops.warp_pixel_coords(
+            x, jnp.asarray(grid), align_corners=True
+        ).sum()
+
+    got = ops.warp_pixel_coords(
+        jnp.asarray(img), jnp.asarray(grid), align_corners=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), from_nchw(ref.detach()), rtol=1e-4, atol=1e-5
+    )
+    gimg = jax.grad(f)(jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(gimg), from_nchw(timg.grad), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_grid_sample_align_corners_false(rng_np):
     b, h, w, c = 2, 10, 12, 2
     img = rng_np.rand(b, h, w, c).astype(np.float32)
