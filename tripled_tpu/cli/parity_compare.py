@@ -36,19 +36,20 @@ def build_fixture(root, height, width, num_frames=40):
     return root
 
 
-def make_datasets(root, height, width):
+def make_datasets(root, height, width, name="kitti", erase_count=0):
     import dataclasses
 
     from tripled_tpu.config import DataConfig
     from tripled_tpu.data.get_dataset import get_dataset
 
     data_cfg = DataConfig(
-        name="kitti",
+        name=name,
         split="synthetic",
         height=height,
         width=width,
         in_path=root,
         gt_depth_path=os.path.join(root, "gt_depths.npz"),
+        erase_count=erase_count,
     )
     train_ds = get_dataset(data_cfg, training=True)
     val_ds = get_dataset(data_cfg, training=False)
@@ -70,10 +71,10 @@ def gen_batches(train_ds, batch, steps, seed=7):
             train_ds.sample(i, np.random.RandomState(seed * 100003 + s * 1009 + i))
             for i in idx
         ]
-        out = {
-            k: np.stack([smp[k] for smp in samples])
-            for k in ("color", "color_aug", "K", "inv_K")
-        }
+        keys = ["color", "color_aug", "K", "inv_K"]
+        if "mask" in samples[0]:
+            keys.append("mask")
+        out = {k: np.stack([smp[k] for smp in samples]) for k in keys}
         batches.append(out)
     return batches
 
@@ -103,6 +104,10 @@ def to_torch_inputs(batch, frame_ids=(0, -1, 1)):
     K = torch.from_numpy(batch["K"].copy())
     inputs["K"] = K
     inputs["inv_K"] = torch.from_numpy(batch["inv_K"].copy())
+    if "mask" in batch:
+        # reference mask is image-shaped (3,H,W) (`kitti_dataset.py:169`)
+        m = np.transpose(batch["mask"], (0, 3, 1, 2)).astype(np.float32)
+        inputs[("mask", 0, 0)] = torch.from_numpy(np.repeat(m, 3, axis=1))
     for s in range(4):
         Ks = K.clone()
         Ks[:, :2] /= 2**s
@@ -185,7 +190,7 @@ def run_torch(batches, val_ds, height, width, layers, eval_every, lr_fn):
 # ------------------------------------------------------- trajectory parity
 
 def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
-                   steps_per_epoch=None, n_eval=10):
+                   steps_per_epoch=None, n_eval=10, variant="baseline"):
     """Same-init trajectory parity: export the torch model's INITIAL weights,
     import them into the jax model (`utils/torch_import.py`), train BOTH on
     the identical batch stream with dropout disabled, and compare (a) the
@@ -215,9 +220,30 @@ def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
     # ---- torch side, dropout off (deterministic trajectories; the only
     # remaining stochastic term is the reference's 1e-5 automask tie-break
     # noise, mono_baseline/net.py:166-170 — below float tolerance here)
+    if variant == "flagship":
+        # the paper config (cfg_kitti_tripleD.py:23-53) at study resolution:
+        # disentangle + inpaint mask + auto_res + joint extractor + BN-heavy
+        # ColorDecoder — every flagship-only loss term end-to-end
+        ref_name = "mono_fm_joint_inpaint_disentangle"
+        extra = dict(
+            extractor_num_layers=layers,
+            dis=1e-3, cvt=1e-3,
+            auto_res_weight=5e-3,
+            disentangle_layers=[False, False, False, False, True],
+            skip_connection_multiplier=1,
+            depth_skip_type=None,
+            color_skip_type=None,
+            color_skip_layers=[False, False, False, False],
+            depth_use_shuffle=False,
+            depth_disentangle_type="use_half",
+            freeze_extractor=False,
+        )
+    else:
+        ref_name = "Baseline"
+        extra = {}
     opts = default_opts(
-        "Baseline", height=height, width=width, imgs_per_gpu=B,
-        depth_num_layers=layers, pose_num_layers=layers,
+        ref_name, height=height, width=width, imgs_per_gpu=B,
+        depth_num_layers=layers, pose_num_layers=layers, **extra,
     )
     torch.manual_seed(0)
     tmodel = build_ref_model(opts)
@@ -232,8 +258,7 @@ def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
     # (mono_baseline/net.py:111). Overriding them to the image res made the
     # step-0 loss differ by 1.7e-3; with the hardcode mirrored, loss matches
     # to ~3e-8 (see PARITY_TRAIN.json trajectory section).
-    cfg = ModelConfig(
-        name="mono_baseline",
+    cfg_kw = dict(
         depth_num_layers=layers,
         pose_num_layers=layers,
         height=height,
@@ -241,6 +266,18 @@ def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
         warp_align_corners=False,
         depth_dropout_rate=0.0,
     )
+    if variant == "flagship":
+        cfg_kw.update(
+            name="mono_fm_joint_inpaint_disentangle",
+            extractor_num_layers=layers,
+            disentangle_layers=(False, False, False, False, True),
+            depth_disentangle_type="use_half",
+            auto_res_weight=5e-3,
+            perception_weight=1e-3,
+        )
+    else:
+        cfg_kw.update(name="mono_baseline")
+    cfg = ModelConfig(**cfg_kw)
     model = build_model(cfg)
     # steps_per_epoch must match the schedule lr_fn was built from (the
     # torch side applies lr_fn directly); the caller passes the FULL batch
@@ -343,9 +380,9 @@ def run_trajectory(batches, val_ds, height, width, layers, lr_fn,
             print(f"disp delta @{step + 1}:", disp_deltas[step + 1])
 
     return {
-        "what": "same-init same-data trajectory (Baseline R%d %dx%d bs%d, "
+        "what": "same-init same-data trajectory (%s R%d %dx%d bs%d, "
                 "dropout off, warp_align_corners=False)"
-                % (layers, height, width, B),
+                % (ref_name, layers, height, width, B),
         "disp_delta_at_step": disp_deltas,
         "steps": steps,
     }
@@ -439,11 +476,33 @@ def main():
         "--trajectory", type=int, default=0, metavar="K",
         help="also run the same-init trajectory comparison for K steps",
     )
+    ap.add_argument(
+        "--trajectory_variant", default="baseline",
+        choices=("baseline", "flagship"),
+        help="model for the trajectory study: Baseline or the TripleD "
+        "flagship mono_fm_joint_inpaint_disentangle (VERDICT r2 item 4)",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the jax side onto CPU (the axon terminal overrides the "
+        "JAX_PLATFORMS env var, so this must be set in-process before any "
+        "backend use; keeps the study off a busy TPU)",
+    )
     ap.add_argument("--out", default="PARITY_TRAIN.json")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    flagship = args.trajectory_variant == "flagship"
     root = build_fixture(args.root, args.height, args.width, args.frames)
-    train_ds, val_ds = make_datasets(root, args.height, args.width)
+    train_ds, val_ds = make_datasets(
+        root, args.height, args.width,
+        name="kitti_inpaint" if flagship else "kitti",
+        erase_count=16 if flagship else 0,
+    )
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
     batches = gen_batches(train_ds, args.batch, args.steps)
     lr_fn = lr_schedule_fn(len(batches))
@@ -454,9 +513,11 @@ def main():
         "KITTI; identical pre-generated batch stream for both frameworks",
     }
     if args.trajectory:
-        result["trajectory"] = run_trajectory(
+        key = "trajectory_flagship" if flagship else "trajectory"
+        result[key] = run_trajectory(
             batches[: args.trajectory], val_ds, args.height, args.width,
             args.layers, lr_fn, steps_per_epoch=len(batches),
+            variant=args.trajectory_variant,
         )
     if not args.skip_ours:
         result["ours"] = run_ours(
@@ -477,6 +538,15 @@ def main():
         }
         print("final delta % (ours vs reference):", result["final_delta_pct"])
 
+    # merge into an existing report so baseline + flagship sections coexist
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            prev.update(result)
+            result = prev
+        except Exception:
+            pass
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")

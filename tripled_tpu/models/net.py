@@ -303,7 +303,12 @@ class TripleDNet(nn.Module):
             outputs["crop_offset"] = (ri, rj)
         elif c.use_extractor:
             target = inputs["color"][:, 0]
-            if c.inpaint and "mask" in inputs:
+            # Only the base inpaint forward masks the extractor input
+            # (`mono_fm_joint_inpaint/net.py:40`); every `disentangle`
+            # subclass (incl. the sep_* ones) overrides forward and feeds
+            # the UNmasked target (`net.py:305,371,513`).
+            masked_ext = c.inpaint and "disentangle" not in c.name
+            if masked_ext and "mask" in inputs:
                 ext_in = target * inputs["mask"]
             else:
                 ext_in = target

@@ -377,6 +377,54 @@ def import_diff_decoder_params(torch_sd, flax_params: dict) -> dict:
     return params
 
 
+def import_image_decoder_params(torch_sd, flax_params: dict) -> dict:
+    """Reference autoencoder `Decoder` (`mono_fm_joint/decoder.py:7-57`) →
+    our `ImageDecoder`: upconv/iconv ConvBlocks interleave in flax call
+    order; the 4 sigmoid heads run deepest-first (disp4..disp1)."""
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    blocks = ["upconv5", "iconv5", "upconv4", "iconv4", "upconv3", "iconv3",
+              "upconv2", "iconv2", "upconv1", "iconv1"]
+    for i, tname in enumerate(blocks):
+        _set_conv(params, (f"ConvBlock_{i}", "Conv3x3_0", "Conv_0"),
+                  torch_sd, f"{tname}.conv.conv")
+    for i, tname in enumerate(("disp4", "disp3", "disp2", "disp1")):
+        _set_conv(params, (f"Conv3x3_{i}", "Conv_0"), torch_sd, f"{tname}.conv")
+    return params
+
+
+def import_color_decoder_params(
+    torch_sd, flax_params: dict, skip_layers=(False, False, False, False)
+) -> dict:
+    """Reference `ColorDecoder` (`mono_fm_joint/decoder.py:60-113`) → our
+    `ColorDecoder`. Skip ConvBlocks only exist in flax when the matching
+    `skip_layers` flag is on (torch always creates them; unused ones are
+    dropped). Heads run shallow-first (disp1..disp4) per our call order."""
+    params = copy.deepcopy(
+        __import__("jax").tree_util.tree_map(np.asarray, flax_params)
+    )
+    blocks = ["upconv5", "iconv5", "upconv4"]
+    if skip_layers[0]:
+        blocks.append("upconv5_skip")
+    blocks += ["iconv4", "upconv3"]
+    if skip_layers[1]:
+        blocks.append("upconv4_skip")
+    blocks += ["iconv3", "upconv2"]
+    if skip_layers[2]:
+        blocks.append("upconv3_skip")
+    blocks += ["iconv2", "upconv1"]
+    if skip_layers[3]:
+        blocks.append("upconv2_skip")
+    blocks.append("iconv1")
+    for i, tname in enumerate(blocks):
+        _set_conv(params, (f"ConvBlock_{i}", "Conv3x3_0", "Conv_0"),
+                  torch_sd, f"{tname}.conv.conv")
+    for i, tname in enumerate(("disp1", "disp2", "disp3", "disp4")):
+        _set_conv(params, (f"Conv3x3_{i}", "Conv_0"), torch_sd, f"{tname}.conv")
+    return params
+
+
 def import_pose_decoder_params(torch_sd, flax_params: dict) -> dict:
     """Reference PoseDecoder (`mono/model/mono_fm/pose_decoder.py:5-26`):
     reduce → conv1 → conv2 → conv3 map onto our Conv_0..Conv_3."""
@@ -389,7 +437,9 @@ def import_pose_decoder_params(torch_sd, flax_params: dict) -> dict:
     return params
 
 
-def import_reference_checkpoint(ckpt_path_or_sd, variables: dict) -> dict:
+def import_reference_checkpoint(
+    ckpt_path_or_sd, variables: dict, color_skip_layers=None
+) -> dict:
     """Import a full reference training checkpoint (`{'state_dict': ...}`
     with `DepthEncoder.* / DepthDecoder.* / PoseEncoder.* / PoseDecoder.*`
     prefixes) into a TripleDNet variables tree, covering the submodules the
@@ -444,6 +494,32 @@ def import_reference_checkpoint(ckpt_path_or_sd, variables: dict) -> dict:
         p, s = import_resnet(ex, params["extractor"][k], stats["extractor"][k])
         params["extractor"][k] = p
         stats["extractor"][k] = s
+
+    idec = filter_prefix(sd, "Decoder")
+    if idec and "image_decoder" in params:
+        params["image_decoder"] = import_image_decoder_params(
+            idec, params["image_decoder"]
+        )
+
+    cdec = filter_prefix(sd, "ColorDecoder")
+    if cdec and "color_decoder" in params:
+        if color_skip_layers is None:
+            # call-order naming: 10 trunk ConvBlocks + one per active skip.
+            # The count disambiguates only the no-skip case; callers with
+            # active skips must pass `color_skip_layers` explicitly.
+            n_blocks = sum(
+                1 for k in params["color_decoder"]
+                if k.startswith("ConvBlock_")
+            )
+            if n_blocks != 10:
+                raise ValueError(
+                    "ColorDecoder has active skip connections; pass "
+                    "color_skip_layers to import_reference_checkpoint"
+                )
+            color_skip_layers = (False, False, False, False)
+        params["color_decoder"] = import_color_decoder_params(
+            cdec, params["color_decoder"], color_skip_layers
+        )
 
     out = {"params": params}
     if stats:
