@@ -235,6 +235,8 @@ def bench_infer(steps=50):
 
 
 def _with_oom_fallback(fn, batch, steps):
+    import gc
+
     while batch >= 1:
         try:
             return fn(batch, steps), batch
@@ -242,6 +244,12 @@ def _with_oom_fallback(fn, batch, steps):
             oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
             if oom and batch > 1:
                 batch //= 2
+                # drop the failed attempt's device buffers before retrying:
+                # the exception traceback pins the frames that own them, and
+                # the axon backend frees asynchronously
+                e = None
+                gc.collect()
+                time.sleep(10)
                 continue
             raise
 

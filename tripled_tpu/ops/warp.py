@@ -24,7 +24,14 @@ Design notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _pad64_cap() -> int:
+    import os
+
+    return int(os.environ.get("TRIPLED_WARP_PAD64_CAP", 10**9))
 
 
 def _gather_flat(img_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +96,26 @@ def grid_sample(
         down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
         downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
         patches = jnp.concatenate([img, right, down, downright], axis=-1)
-        g = _gather_flat(patches.reshape(b, h * w, 4 * c), idx00)
+        # Pad gather rows to 64 lanes: the XLA TPU gather emitter switches
+        # to a ~1.6x faster strategy at 64-lane rows (measured
+        # dev/gather_bench3.py: 12/16/24/32/64/128 lanes -> 144/145/194/
+        # 239/91/102 ms per full-res warp). Zero-pad is sliced back off;
+        # the barrier keeps the padded tensor materialized as the micro-
+        # benchmarked form instead of fused into the gather. The padded
+        # tensor costs 64/(4C) x the source image in HBM and stays live
+        # across all scales that warp the same source (XLA CSE), so the
+        # trade is only taken below a size cap (default 1 GB/frame,
+        # override TRIPLED_WARP_PAD64_CAP bytes; bs48 @192x640 = 1.5 GB
+        # per frame OOMs the 15.75 GB chip under the train step).
+        pc = 4 * c
+        pad64_bytes = b * h * w * 64 * jnp.dtype(img.dtype).itemsize
+        if pc < 64 and pad64_bytes <= _pad64_cap():
+            patches = jnp.pad(
+                patches, ((0, 0), (0, 0), (0, 0), (0, 64 - pc))
+            )
+            patches = jax.lax.optimization_barrier(patches)
+            pc = 64
+        g = _gather_flat(patches.reshape(b, h * w, pc), idx00)
         v00 = g[..., 0 * c : 1 * c]
         v01 = g[..., 1 * c : 2 * c]
         v10 = g[..., 2 * c : 3 * c]
