@@ -26,8 +26,8 @@ torch implementation's own train-step throughput on this host's CPU
 publishes no numbers and no GPU exists here — BASELINE.md). If that file is
 absent the ratio is null, never an assumed constant.
 
-Env overrides: BENCH_BATCH (default 48), BENCH_STEPS (default 20),
-BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 1),
+Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
+BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
 BENCH_BF16 (default 0), BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH.
 """
 
@@ -182,7 +182,7 @@ def bench_mono_fm(batch, steps):
         width=640,
         perception_weight=1e-3,
         use_pallas_photometric=os.environ.get("BENCH_PALLAS", "0") == "1",
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
             else "float32"
@@ -260,7 +260,7 @@ def main():
     enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "train")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
 
     if mode == "infer":
         fps = bench_infer(steps=max(steps, 20))
@@ -286,7 +286,7 @@ def main():
         "value": round(m["imgs_per_sec"], 2),
         "unit": "imgs/sec/chip",
         "batch": used_batch,
-        "remat": os.environ.get("BENCH_REMAT", "1") == "1",
+        "remat": os.environ.get("BENCH_REMAT", "0") == "1",
         "compute_dtype": (
             "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
             else "float32"

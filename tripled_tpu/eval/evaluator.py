@@ -83,6 +83,11 @@ class DepthEvaluator:
             n_imgs += len(idx)
         pool.shutdown()
         dt = time.perf_counter() - t0
+        # end-to-end FPS: decode + H2D + predict + D2H (np.asarray forces
+        # the device readback, so this clock is honest). On the axon
+        # remote-TPU tunnel the D2H transfer dominates; on a local TPU-VM
+        # this approaches pure inference FPS (the reference's eval_hooks
+        # cv2-tick FPS likewise times its whole loop).
         fps = n_imgs / dt if dt > 0 else float("inf")
         return disps, fps
 

@@ -44,7 +44,19 @@ def _gather_flat(img_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     b, n_rows, c = img_flat.shape
     base = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
     flat = img_flat.reshape(b * n_rows, c)
-    out = jnp.take(flat, (base + idx).reshape(-1), axis=0)
+    # callers construct provably in-bounds indices (coords are clamped to
+    # the source rectangle first), so skip jnp.take's out-of-bounds
+    # select_n — profiled at ~1.5 ms per full-res warp on v5e
+    out = jax.lax.gather(
+        flat,
+        (base + idx).reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
     return out.reshape(b, idx.shape[1], c)
 
 
