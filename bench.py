@@ -28,7 +28,8 @@ absent the ratio is null, never an assumed constant.
 
 Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
-BENCH_BF16 (default 0), BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH.
+BENCH_BF16 (default 0), BENCH_BF16_WARP=1 (bf16 gather texels),
+BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH.
 """
 
 import json
@@ -181,8 +182,12 @@ def bench_mono_fm(batch, steps):
         height=192,
         width=640,
         perception_weight=1e-3,
-        use_pallas_photometric=os.environ.get("BENCH_PALLAS", "0") == "1",
+        use_pallas_photometric=os.environ.get("BENCH_PALLAS", "1") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        warp_gather_dtype=(
+            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+            else "float32"
+        ),
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
             else "float32"

@@ -14,18 +14,24 @@ from collections import defaultdict
 
 
 def hlo_op_names(path):
-    """fusion.N -> (shortened op_name, source line) from an HLO text dump."""
+    """fusion.N -> "op_name | shape" from an HLO text dump. Ops without
+    metadata still get their output shape so nothing stays opaque."""
     out = {}
-    pat = re.compile(
-        r"%(\S+?) = \S+ fusion\(.*?metadata={op_name=\"([^\"]*)\""
+    pat_meta = re.compile(
+        r"%(\S+?) = (\S+?) (?:fusion|[a-z-]+)\(.*?metadata={op_name=\"([^\"]*)\""
     )
-    pat2 = re.compile(r"%(\S+?) = \S+ (?:fusion|[a-z-]+)\(.*?metadata={op_name=\"([^\"]*)\"")
+    pat_shape = re.compile(r"%(\S+?) = (\S+?) [a-z-]*\(")
     with open(path) as f:
         for line in f:
-            m = pat2.search(line)
+            m = pat_meta.search(line)
             if m:
-                name, op = m.groups()
-                out.setdefault(name, op)
+                name, shape, op = m.groups()
+                out.setdefault(name, f"{op} | {shape.split('{')[0]}")
+                continue
+            m = pat_shape.search(line)
+            if m:
+                name, shape = m.groups()
+                out.setdefault(name, f"? | {shape.split('{')[0]}")
     return out
 
 

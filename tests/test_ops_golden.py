@@ -198,6 +198,25 @@ def test_grid_sample_channel_paths_vs_torch(rng_np, c):
     )
 
 
+def test_grid_sample_bf16_gather_close(rng_np):
+    """Opt-in bf16 gather texels (ModelConfig.warp_gather_dtype) stay
+    within bf16 quantization of the exact f32 sampling."""
+    from tripled_tpu.ops.warp import grid_sample
+
+    img = rng_np.rand(2, 12, 18, 3).astype(np.float32)
+    coords = np.stack(
+        [rng_np.rand(2, 9, 11) * 17, rng_np.rand(2, 9, 11) * 11], axis=-1
+    ).astype(np.float32)
+    exact = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(coords)))
+    approx = np.asarray(
+        grid_sample(
+            jnp.asarray(img), jnp.asarray(coords), gather_dtype=jnp.bfloat16
+        )
+    )
+    # bf16 has 8 mantissa bits: relative step 2^-8 on [0.5, 1)
+    np.testing.assert_allclose(approx, exact, atol=2 ** -8)
+
+
 def test_grid_sample_align_corners_false(rng_np):
     b, h, w, c = 2, 10, 12, 2
     img = rng_np.rand(b, h, w, c).astype(np.float32)

@@ -108,11 +108,18 @@ class ModelConfig:
 
     # numerics / kernels
     compute_dtype: str = "float32"     # 'bfloat16' for mixed-precision conv path
+    # dtype of the gathered warp texels: 'bfloat16' trades ~1e-3-relative
+    # sampling exactness for ~15% less gather time (BASELINE.md r3 log);
+    # keep 'float32' for torch-parity work
+    warp_gather_dtype: str = "float32"
     # fused Pallas photometric min-reprojection kernel (TPU only). Skips the
     # reference's 1e-5 gaussian tie-break noise on identity losses: exact
     # ties deterministically keep the identity candidate instead, which
-    # serves the same automasking purpose.
-    use_pallas_photometric: bool = False
+    # serves the same automasking purpose. Default ON since the first
+    # honest-clock A/B (round 3): 36.16 vs 35.49 imgs/s end-to-end on the
+    # mono_fm bench config (BASELINE.md round-3 log). Parity studies run
+    # on CPU where the flag is inert (TPU-only gate in net.py).
+    use_pallas_photometric: bool = True
     # rematerialize encoder activations in the backward pass — trades ~30%
     # extra FLOPs for the memory to fit bs≥3 at 320×1024 (SURVEY §7 hard parts)
     remat: bool = False

@@ -409,7 +409,12 @@ class TripleDNet(nn.Module):
             h, w = img.shape[1], img.shape[2]
             scale = jnp.asarray([w / (w - 1.0), h / (h - 1.0)], coords.dtype)
             coords = coords * scale - 0.5
-        return grid_sample(img, coords, method=method)
+        gd = (
+            jnp.bfloat16
+            if self.cfg.warp_gather_dtype == "bfloat16"
+            else None
+        )
+        return grid_sample(img, coords, method=method, gather_dtype=gd)
 
     def _warp_colors(self, inputs, outputs, disp):
         """Backward-warp each source frame into the target view

@@ -64,6 +64,7 @@ def grid_sample(
     img: jnp.ndarray,
     coords: jnp.ndarray,
     method: str = "bilinear",
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Backward-warp `img` at pixel coordinates `coords` with border padding.
 
@@ -71,6 +72,10 @@ def grid_sample(
       img: (B, H, W, C) source image.
       coords: (B, Ho, Wo, 2) pixel-space sample locations (x, y).
       method: "bilinear" or "nearest".
+      gather_dtype: optional dtype for the gathered corner texels (e.g.
+        jnp.bfloat16 trades exactness for ~15% less gather time on v5e —
+        dev/gather_bench3.py); the interpolation itself stays in the
+        input dtype. None keeps the gather exact.
 
     Returns:
       (B, Ho, Wo, C) sampled image.
@@ -108,6 +113,8 @@ def grid_sample(
         down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
         downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
         patches = jnp.concatenate([img, right, down, downright], axis=-1)
+        if gather_dtype is not None:
+            patches = patches.astype(gather_dtype)
         # Pad gather rows to 64 lanes: the XLA TPU gather emitter switches
         # to a ~1.6x faster strategy at 64-lane rows (measured
         # dev/gather_bench3.py: 12/16/24/32/64/128 lanes -> 144/145/194/
@@ -128,6 +135,8 @@ def grid_sample(
             patches = jax.lax.optimization_barrier(patches)
             pc = 64
         g = _gather_flat(patches.reshape(b, h * w, pc), idx00)
+        if g.dtype != img.dtype:
+            g = g.astype(img.dtype)
         v00 = g[..., 0 * c : 1 * c]
         v01 = g[..., 1 * c : 2 * c]
         v10 = g[..., 2 * c : 3 * c]
