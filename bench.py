@@ -29,7 +29,7 @@ absent the ratio is null, never an assumed constant.
 Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
 BENCH_BF16 (default 0), BENCH_BF16_WARP=1 (bf16 gather texels),
-BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH.
+BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH, BENCH_FLAGSHIP_REMAT (default 1).
 """
 
 import json
@@ -210,7 +210,11 @@ def bench_flagship(batch, steps):
         depth_disentangle_type="use_half",
         auto_res_weight=5e-3,
         perception_weight=1e-3,
-        remat=True,
+        remat=os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
+        warp_gather_dtype=(
+            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+            else "float32"
+        ),
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
             else "float32"
@@ -327,7 +331,11 @@ def main():
                 "value": round(fm["imgs_per_sec"], 2),
                 "unit": "imgs/sec/chip",
                 "batch": fbatch,
-                "remat": True,
+                "remat": os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
+                "compute_dtype": (
+                    "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
+                    else "float32"
+                ),
                 "ms_per_step": round(fm["ms_per_step"], 1),
                 "flops_per_step": fm["flops_per_step"],
                 "tflops_per_sec": round(fm["tflops_per_sec"], 2)

@@ -55,3 +55,15 @@ def test_fused_gradients_match(rng_np):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_supports_shape_gate():
+    # Mosaic lane-slice alignment: only 128-multiple widths compile on TPU
+    # (a W=192 config hit 'Slice shape along dimension 2 must be aligned to
+    # tiling (128)'); net.py falls back to the XLA path otherwise.
+    from tripled_tpu.ops.pallas.photometric import supports_shape
+
+    assert supports_shape(192, 640)
+    assert supports_shape(320, 1024)
+    assert not supports_shape(96, 192)
+    assert not supports_shape(192, 416)

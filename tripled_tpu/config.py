@@ -107,7 +107,11 @@ class ModelConfig:
     warp_align_corners: bool = True
 
     # numerics / kernels
-    compute_dtype: str = "float32"     # 'bfloat16' for mixed-precision conv path
+    # 'bfloat16' = mixed precision: conv trunks (depth/extractor encoders,
+    # all decoders) run bf16 with f32 master params/Adam/BN stats; losses,
+    # warp geometry and the pose networks stay f32 (net.py "precision"
+    # section, train/step.py _cast_floating).
+    compute_dtype: str = "float32"
     # dtype of the gathered warp texels: 'bfloat16' trades ~1e-3-relative
     # sampling exactness for ~15% less gather time (BASELINE.md r3 log);
     # keep 'float32' for torch-parity work

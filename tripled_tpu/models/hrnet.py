@@ -35,7 +35,9 @@ _BLOCKS_PER_BRANCH = 4
 
 
 def _bn(x, train):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=x.dtype
+    )(x)
 
 
 class _FuseLayer(nn.Module):

@@ -239,11 +239,42 @@ class TripleDNet(nn.Module):
         if c.im_rot:
             self.rot_head = nn.Dense(c.pretext_label_size)
 
+    # ------------------------------------------------------------- precision
+
+    # Mixed precision (cfg.compute_dtype='bfloat16'): the conv networks run
+    # in bf16 (params are cast per-step by make_train_step; inputs are cast
+    # at each encoder entry via _cd), while everything precision-critical —
+    # warp coordinate geometry, disparity→depth, every loss reduction, BN
+    # statistics (flax computes those in f32 regardless), Adam state — stays
+    # f32 via a cast back at each network boundary (_f32). bf16's 2^-8
+    # relative rounding on disp/pose outputs moves warp sample locations by
+    # ~0.01 px at typical KITTI flows; keep float32 for parity studies.
+
+    def _cd(self, x):
+        if self.cfg.compute_dtype == "bfloat16":
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                x,
+            )
+        return x
+
+    def _f32(self, x):
+        if self.cfg.compute_dtype == "bfloat16":
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if a.dtype == jnp.bfloat16
+                else a,
+                x,
+            )
+        return x
+
     # ------------------------------------------------------------------ forward
 
     def __call__(self, inputs: Dict[str, Any], train: bool = True):
         c = self.cfg
-        scene = self.depth_encoder(inputs["color_aug"][:, 0], train=train)
+        scene = self.depth_encoder(self._cd(inputs["color_aug"][:, 0]), train=train)
         if c.use_diffnet:
             # HRNet yields the nested DIFFNet feature structure
             # (hrnet.py docstring); no skip layers apply — diffnet is never
@@ -255,7 +286,7 @@ class TripleDNet(nn.Module):
             ]
         # positional `train`: the remat wrapper's static_argnums can't see
         # kwargs (jax.checkpoint semantics)
-        disps = self.depth_decoder(depth_emb, train)
+        disps = self._f32(self.depth_decoder(depth_emb, train))
 
         if not train:
             return disps
@@ -273,7 +304,9 @@ class TripleDNet(nn.Module):
                     identity_partial(f, 2, use_right=True) if flag else f
                     for f, flag in zip(scene, c.disentangle_layers)
                 ]
-            outputs["auto_res"] = self.color_decoder(color_emb, disps)
+            outputs["auto_res"] = self._f32(
+                self.color_decoder(color_emb, self._cd(disps))
+            )
 
         # ---- poses
         pose_feats0 = None
@@ -296,8 +329,10 @@ class TripleDNet(nn.Module):
                 self.make_rng("crop"), target, c.pretext_resize
             )
             rotated, labels = random_rotate_batch(self.make_rng("rotation"), crop)
-            features = self.extractor(rotated, train=train)
-            logits = self.rot_head(jnp.mean(features[-1], axis=(1, 2)))
+            features = self._f32(self.extractor(self._cd(rotated), train=train))
+            logits = self._f32(
+                self.rot_head(self._cd(jnp.mean(features[-1], axis=(1, 2))))
+            )
             outputs["rot_predicts"] = logits
             outputs["rot_gt"] = labels
             outputs["crop_offset"] = (ri, rj)
@@ -312,11 +347,12 @@ class TripleDNet(nn.Module):
                 ext_in = target * inputs["mask"]
             else:
                 ext_in = target
-            features = self.extractor(ext_in, train=train)
+            features = self.extractor(self._cd(ext_in), train=train)
             if c.freeze_extractor:
                 features = [jax.lax.stop_gradient(f) for f in features]
             if c.use_image_decoder and c.img_reconstruct_weight != 0:
-                outputs["res_imgs"] = self.image_decoder(features)
+                outputs["res_imgs"] = self._f32(self.image_decoder(features))
+            features = self._f32(features)
 
         # ---- separate distill branches
         if c.sep_colorize:
@@ -554,7 +590,13 @@ class TripleDNet(nn.Module):
 
             # photometric min-reprojection with automask — net.py:101-128
             warped = self._warp_colors(inputs, outputs, disp)
-            if c.use_pallas_photometric and jax.default_backend() == "tpu":
+            from tripled_tpu.ops.pallas import photometric as _pp
+
+            if (
+                c.use_pallas_photometric
+                and jax.default_backend() == "tpu"
+                and _pp.supports_shape(c.height, c.width)
+            ):
                 # fused Pallas kernel over all candidate images; exact ties
                 # resolve to the identity candidates (listed first), which
                 # replaces the reference's 1e-5 tie-break noise

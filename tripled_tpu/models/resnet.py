@@ -34,7 +34,12 @@ def stage_channels(num_layers: int) -> tuple[int, ...]:
 
 
 def _bn(x, train: bool):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+    # dtype=x.dtype keeps the bf16 activation chain unbroken under the
+    # mixed-precision path (stats are still computed in f32 — flax
+    # _compute_stats force_float32_reductions)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=x.dtype
+    )(x)
 
 
 class BasicBlock(nn.Module):

@@ -62,6 +62,16 @@ def pallas_available() -> bool:
         return False
 
 
+def supports_shape(height: int, width: int) -> bool:
+    """Mosaic constraint: the kernel slices W lanes out of its 128-padded
+    VMEM slabs, and lane-dim slices must be 128-aligned (a W=192 config
+    fails to compile with 'Slice shape along dimension 2 must be aligned
+    to tiling (128)'). Training widths 640/1024 qualify; callers must fall
+    back to the XLA path otherwise. H only needs 8-sublane DMA windows,
+    which the row-tile picker already guarantees for any H."""
+    return width % 128 == 0
+
+
 def _kernel(tgt_ref, preds_ref, out_ref, idx_ref, *, K, TH, W, C):
     """Grid step: one (batch, row-tile).
 

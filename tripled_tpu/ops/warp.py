@@ -127,7 +127,7 @@ def grid_sample(
         # override TRIPLED_WARP_PAD64_CAP bytes; bs48 @192x640 = 1.5 GB
         # per frame OOMs the 15.75 GB chip under the train step).
         pc = 4 * c
-        pad64_bytes = b * h * w * 64 * jnp.dtype(img.dtype).itemsize
+        pad64_bytes = b * h * w * 64 * jnp.dtype(patches.dtype).itemsize
         if pc < 64 and pad64_bytes <= _pad64_cap():
             patches = jnp.pad(
                 patches, ((0, 0), (0, 0), (0, 0), (0, 64 - pc))

@@ -17,7 +17,26 @@ import jax.numpy as jnp
 from tripled_tpu.train.state import TrainState
 
 
+def _cast_floating(tree, dtype):
+    """Cast floating-point leaves (the conv/dense kernels) to `dtype`.
+
+    Used for the mixed-precision path (ModelConfig.compute_dtype='bfloat16'):
+    master params stay f32 in TrainState / Adam; the cast happens *inside*
+    loss_fn, so autodiff routes gradients back through it and grads come out
+    f32. Params are rounded to bf16 everywhere (standard mixed precision),
+    but branches whose *inputs* stay f32 (pose nets, sep_* encoders) still
+    *compute* in f32 via flax's dtype=None promotion rules — only the
+    trunks net.py explicitly feeds bf16 inputs run bf16 math.
+    """
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
 def make_train_step(model, tx, donate: bool = True) -> Callable:
+    compute_dtype = getattr(getattr(model, "cfg", None), "compute_dtype", "float32")
+
     def train_step(state: TrainState, batch, rng):
         rngs = dict(
             zip(
@@ -27,6 +46,8 @@ def make_train_step(model, tx, donate: bool = True) -> Callable:
         )
 
         def loss_fn(params):
+            if compute_dtype == "bfloat16":
+                params = _cast_floating(params, jnp.bfloat16)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
