@@ -104,3 +104,123 @@ def test_batch_loader_sharding(kitti_tree):
     shards[0].set_epoch(1)
     ep1 = list(shards[0])
     assert not np.array_equal(batches0[0]["color"], ep1[0]["color"])
+
+
+def test_decode_cache_bitexact(kitti_tree, monkeypatch):
+    """Cache-on samples are bit-identical to the PIL (reference) decode
+    path, flips included, for BOTH underlying decoders: the cache stores
+    frames on the uint8/255 grid — exactly what PIL produces, and what the
+    native loader matches byte-exactly after rounding
+    (tests/test_native_loader.py). Unflipped frames are cached and
+    mirrored with a numpy view; the native loader also mirrors after
+    resizing, so flip commutes."""
+    monkeypatch.setenv("TRIPLED_NATIVE_LOADER", "0")
+    ref = _make(KITTIRawDataset, kitti_tree)  # PIL, no cache
+    for native in ("1", "0"):
+        monkeypatch.setenv("TRIPLED_NATIVE_LOADER", native)
+        warm = _make(
+            KITTIRawDataset,
+            kitti_tree,
+            cfg=DataConfig(erase_shape=(8, 8), erase_count=4, decode_cache_mb=64),
+        )
+        assert warm._decode_cache is not None and ref._decode_cache is None
+        for idx in range(4):
+            for seed in (0, 1, 2, 3):  # covers do_flip on and off
+                a = ref.sample(idx, np.random.RandomState(seed))
+                b = warm.sample(idx, np.random.RandomState(seed))  # fill/hit
+                c = warm.sample(idx, np.random.RandomState(seed))  # hit
+                np.testing.assert_array_equal(a["color"], b["color"])
+                np.testing.assert_array_equal(a["color"], c["color"])
+                np.testing.assert_array_equal(a["color_aug"], c["color_aug"])
+        assert warm._decode_cache.used > 0
+
+
+def test_decode_cache_cap(kitti_tree):
+    """Insertion stops at the byte cap instead of evicting."""
+    one_frame = 64 * 192 * 3  # uint8 bytes
+    ds = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        cfg=DataConfig(decode_cache_mb=1),
+    )
+    ds._decode_cache.cap = 2 * one_frame + 1
+    for idx in range(4):
+        ds.sample(idx, np.random.RandomState(0))
+    assert ds._decode_cache.used <= ds._decode_cache.cap
+    assert len(ds._decode_cache._d) == 2
+
+
+def test_device_jitter_matches_host(kitti_tree):
+    """ops/jitter.py reproduces the host numpy jitter bit-closely for the
+    same factors/order, and the dataset's device mode ships a param vector
+    drawn from the SAME rng stream as the host path."""
+    import jax.numpy as jnp
+
+    from tripled_tpu.ops.jitter import color_jitter
+
+    host_ds = _make(KITTIRawDataset, kitti_tree)
+    dev_ds = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        cfg=DataConfig(
+            erase_shape=(8, 8), erase_count=4, device_color_aug=True
+        ),
+    )
+    checked_aug = 0
+    for idx in range(4):
+        for seed in range(6):
+            a = host_ds.sample(idx, np.random.RandomState(seed))
+            d = dev_ds.sample(idx, np.random.RandomState(seed))
+            assert "color_aug" not in d and d["jitter_params"].shape == (9,)
+            np.testing.assert_array_equal(a["color"], d["color"])
+            dev_aug = np.asarray(
+                color_jitter(
+                    jnp.asarray(d["color"][None]),
+                    jnp.asarray(d["jitter_params"][None]),
+                )
+            )[0]
+            np.testing.assert_allclose(
+                a["color_aug"], dev_aug, atol=2e-6,
+                err_msg=f"idx={idx} seed={seed}",
+            )
+            checked_aug += int(d["jitter_params"][8] > 0)
+    assert checked_aug > 0  # at least one sample actually jittered
+
+
+def test_device_jitter_train_step(kitti_tree):
+    """End-to-end: a train step consumes jitter_params and synthesizes
+    color_aug on device (mono_fm smoke)."""
+    import jax
+
+    from tests.test_models import base_cfg
+    from tripled_tpu.config import OptimConfig
+    from tripled_tpu.models import build_model, canonicalize
+    from tripled_tpu.train.optim import make_optimizer
+    from tripled_tpu.train.state import create_train_state
+    from tripled_tpu.train.step import make_train_step
+
+    import dataclasses
+
+    # match the fixture geometry (the dataset yields 64x192 frames)
+    cfg = canonicalize(
+        dataclasses.replace(
+            base_cfg("mono_fm"),
+            height=64, width=192, pose_height=64, pose_width=192,
+        )
+    )
+    model = build_model(cfg)
+    ds = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        cfg=DataConfig(device_color_aug=True),
+    )
+    samples = [ds.sample(i, np.random.RandomState(i)) for i in range(2)]
+    batch = {
+        k: np.stack([s[k] for s in samples]) for k in samples[0]
+    }
+    assert "jitter_params" in batch and "color_aug" not in batch
+    tx, _ = make_optimizer(OptimConfig(warmup_iters=1), steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, seed=0)
+    step = make_train_step(model, tx, donate=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -161,6 +161,17 @@ class DataConfig:
     batch_size: int = 12
     shuffle: bool = True
     seed: int = 1024
+    # in-RAM cache of decoded+resized frames (uint8, lossless), in MB;
+    # 0 = off. From epoch 2 the host pipeline skips JPEG/PNG decode +
+    # Lanczos resize entirely — on this 1-core host decode (~38 imgs/s
+    # @192x640) otherwise rate-limits the TPU step (BASELINE.md round 3).
+    # Env override: TRIPLED_DECODE_CACHE_MB.
+    decode_cache_mb: int = 0
+    # synthesize color_aug on device from per-sample jitter factors
+    # (ops/jitter.py) instead of numpy on the 1-core host: ~halves both
+    # host sample-assembly time and host->device transfer. Same factor
+    # distribution / rng stream as the host path.
+    device_color_aug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,6 +26,7 @@ Reference parity notes:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -40,6 +41,40 @@ from tripled_tpu.data.transforms import (
     resize_antialias,
     to_float,
 )
+
+
+class _DecodeCache:
+    """Bounded in-RAM cache of decoded+resized frames, stored uint8.
+
+    Values live on the uint8/255 grid — exactly the PIL decode path (and
+    the reference's PIL+ToTensor pipeline, `mono_dataset.py:129-141`), so
+    caching is lossless there. The native loader keeps sub-uint8 Lanczos
+    precision but is byte-exact vs PIL after rounding
+    (tests/test_native_loader.py), so with the cache both decoders yield
+    the identical, reference-grid sample.
+    Frames are cached UNFLIPPED and mirrored with a numpy view on read —
+    the native loader mirrors *after* resizing (loader.cpp resize_lanczos),
+    so this is bit-identical; equality incl. flips is pinned by
+    tests/test_data.py. Insertion stops at the byte cap (training epochs
+    reshuffle uniformly, so eviction buys nothing); thread-safe under the
+    BatchLoader worker pool.
+    """
+
+    def __init__(self, cap_bytes: int):
+        self.cap = cap_bytes
+        self.used = 0
+        self._lock = threading.Lock()
+        self._d: dict = {}
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, arr: np.ndarray) -> None:
+        with self._lock:
+            if key in self._d or self.used + arr.nbytes > self.cap:
+                return
+            self._d[key] = arr
+            self.used += arr.nbytes
 
 
 class MonoDataset:
@@ -81,6 +116,12 @@ class MonoDataset:
             from tripled_tpu.data import native_loader
 
             self.use_native = native_loader.available()
+        cap_mb = int(
+            os.environ.get(
+                "TRIPLED_DECODE_CACHE_MB", str(self.cfg.decode_cache_mb)
+            )
+        )
+        self._decode_cache = _DecodeCache(cap_mb << 20) if cap_mb > 0 else None
         self.gt_depths = None
         if not is_train and gt_depth_path:
             self.gt_depths = np.load(
@@ -112,7 +153,34 @@ class MonoDataset:
 
     def _load_resized(self, folder, frame_index, side, do_flip) -> np.ndarray:
         """One frame → float32 (H, W, 3) in [0,1], resized + optionally
-        flipped; native fused path with PIL fallback."""
+        flipped; decode-cache fast path, then native loader, then PIL."""
+        cache = self._decode_cache
+        path = (
+            self._cache_key(folder, frame_index, side)
+            if cache is not None
+            else None
+        )
+        if path is not None:
+            hit = cache.get(path)
+            if hit is None:
+                dec = self._decode(folder, frame_index, side, do_flip=False)
+                hit = np.rint(dec * 255.0).astype(np.uint8)
+                cache.put(path, hit)
+            # fills are quantized too, so cache-on output sits on the
+            # uint8/255 reference grid regardless of hit/miss or decoder
+            img = hit.astype(np.float32) / 255.0
+            return img[:, ::-1] if do_flip else img
+        return self._decode(folder, frame_index, side, do_flip)
+
+    def _cache_key(self, folder, frame_index, side):
+        """Decode-cache key for one frame; None disables caching for it
+        (e.g. datasets without per-frame paths)."""
+        try:
+            return self.get_image_path(folder, frame_index, side)
+        except NotImplementedError:
+            return None
+
+    def _decode(self, folder, frame_index, side, do_flip) -> np.ndarray:
         if self.use_native:
             from tripled_tpu.data import native_loader
 
@@ -150,7 +218,15 @@ class MonoDataset:
 
         frames, side = self.load_frames(index, do_flip)
         colors = np.stack(frames)  # (F, H, W, 3) float32 [0,1]
-        if do_color_aug:
+        jitter_params = None
+        if self.is_train and self.cfg.device_color_aug:
+            # TPU-native mode: ship the factors, synthesize color_aug on
+            # device (ops/jitter.py) — same rng stream as the host path
+            from tripled_tpu.ops.jitter import sample_jitter_params
+
+            jitter_params = sample_jitter_params(rng, self.jitter, do_color_aug)
+            color_aug = colors
+        elif do_color_aug:
             aug = self.jitter.sample(rng)
             color_aug = np.stack([aug(c) for c in colors])
         else:
@@ -163,10 +239,15 @@ class MonoDataset:
 
         out = {
             "color": colors.astype(np.float32),
-            "color_aug": color_aug.astype(np.float32),
             "K": K.astype(np.float32),
             "inv_K": inv_K,
         }
+        if jitter_params is not None:
+            # device mode: color_aug is synthesized on-chip from `color` +
+            # these 9 floats (net.py __call__), halving host->device bytes
+            out["jitter_params"] = jitter_params
+        else:
+            out["color_aug"] = color_aug.astype(np.float32)
         if self.cfg.add_lab:
             # PIL ImageCms LAB equivalent: D50-ish Lab scaled to [0,1] per
             # channel like a uint8 LAB image (mono_dataset.py:11-15,104-109)
@@ -377,6 +458,9 @@ class CityscapeDataset(MonoDataset):
                 self.data_path, readonly=True, lock=False, readahead=False
             )
         return self._env
+
+    def _cache_key(self, folder, frame_index, side):
+        return f"{folder}_{frame_index:06d}"
 
     def get_color(self, folder, frame_index, side, do_flip):
         import io

@@ -44,35 +44,34 @@ def adjust_saturation(x: np.ndarray, factor: float) -> np.ndarray:
 
 
 def adjust_hue(x: np.ndarray, delta: float) -> np.ndarray:
-    """Hue shift by `delta` (fraction of a full turn), via HSV round trip."""
-    maxc = x.max(-1)
-    minc = x.min(-1)
-    v = maxc
+    """Hue shift by `delta` (fraction of a full turn), via HSV round trip.
+
+    Branch-free formulation (host-perf hot path: with the decode cache on,
+    the old 6-way `np.select` HSV->RGB was 76% of a cached sample's cost):
+    channel n in (5=R, 3=G, 1=B) equals v - v*s*clip(min(k, 4-k), 0, 1)
+    with k = (n + 6h) mod 6 — algebraically the same piecewise function.
+    """
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    # elementwise max/min chains are ~10x faster than .max(-1) reductions
+    # over the stride-1 channel axis
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
     c = maxc - minc
     s = np.where(maxc > 0, c / np.maximum(maxc, 1e-12), 0.0)
     safe_c = np.maximum(c, 1e-12)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
     h = np.where(
         maxc == r, ((g - b) / safe_c) % 6.0,
         np.where(maxc == g, (b - r) / safe_c + 2.0, (r - g) / safe_c + 4.0),
     )
     h = np.where(c > 0, h / 6.0, 0.0)
-    h = (h + delta) % 1.0
-    # hsv -> rgb
-    i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = (i.astype(np.int32) % 6)[..., None]
-    out = np.select(
-        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-        [
-            np.stack([v, t, p], -1), np.stack([q, v, p], -1),
-            np.stack([p, v, t], -1), np.stack([p, q, v], -1),
-            np.stack([t, p, v], -1), np.stack([v, p, q], -1),
-        ],
-    )
+    h6 = ((h + delta) % 1.0) * 6.0
+    vs = maxc * s
+
+    def chan(n):
+        k = (n + h6) % 6.0
+        return maxc - vs * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    out = np.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
     return np.clip(out, 0.0, 1.0)
 
 

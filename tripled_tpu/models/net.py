@@ -274,6 +274,17 @@ class TripleDNet(nn.Module):
 
     def __call__(self, inputs: Dict[str, Any], train: bool = True):
         c = self.cfg
+        if train and "jitter_params" in inputs:
+            # device-side ColorJitter (DataConfig.device_color_aug): the
+            # pipeline ships 9 floats/sample instead of a second image set
+            from tripled_tpu.ops.jitter import color_jitter
+
+            inputs = dict(
+                inputs,
+                color_aug=color_jitter(
+                    inputs["color"], inputs["jitter_params"]
+                ),
+            )
         scene = self.depth_encoder(self._cd(inputs["color_aug"][:, 0]), train=train)
         if c.use_diffnet:
             # HRNet yields the nested DIFFNet feature structure
