@@ -29,7 +29,9 @@ absent the ratio is null, never an assumed constant.
 Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
 BENCH_BF16 (default 0), BENCH_BF16_WARP=1 (bf16 gather texels),
-BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH, BENCH_FLAGSHIP_REMAT (default 1).
+BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH (default 4: bs8 OOMs with the
+64-lane patch-gather warp, BASELINE.md round-3 log), BENCH_FLAGSHIP_REMAT
+(default 1).
 """
 
 import json
@@ -321,7 +323,7 @@ def main():
     if os.environ.get("BENCH_SKIP_FLAGSHIP", "0") != "1":
         fm, fbatch = _with_oom_fallback(
             bench_flagship,
-            int(os.environ.get("BENCH_FLAGSHIP_BATCH", "8")),
+            int(os.environ.get("BENCH_FLAGSHIP_BATCH", "4")),
             steps,
         )
         base_fs = _baseline("tripleD_r50_320x1024")

@@ -29,7 +29,14 @@ def create_train_state(model, tx, sample_inputs, seed: int = 0) -> TrainState:
         "crop": jax.random.PRNGKey(seed + 3),
         "rotation": jax.random.PRNGKey(seed + 4),
     }
-    variables = model.init(rngs, sample_inputs, train=True)
+    init_fn = lambda r, s: model.init(r, s, train=True)
+    if jax.default_backend() == "tpu":
+        # On the remote-compile TPU platform an eager init pays a ~1-min
+        # tunnel round-trip PER tiny op (hundreds of them); one jitted
+        # compile of the whole init graph is dramatically faster cold and
+        # hits the persistent compile cache warm.
+        init_fn = jax.jit(init_fn)
+    variables = init_fn(rngs, sample_inputs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
