@@ -28,10 +28,11 @@ absent the ratio is null, never an assumed constant.
 
 Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
-BENCH_BF16 (default 0), BENCH_BF16_WARP=1 (bf16 gather texels),
-BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH (default 4: bs8 OOMs with the
-64-lane patch-gather warp, BASELINE.md round-3 log), BENCH_FLAGSHIP_REMAT
-(default 1).
+BENCH_BF16 (default 1: bf16 conv trunks win +5.7%/+22% end-to-end and
+bs8 flagship fits; set 0 for the f32 comparison row), BENCH_BF16_WARP=1
+(bf16 gather texels), BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH
+(default 8 under bf16, 4 under f32 where bs8 OOMs with the 64-lane
+patch-gather warp), BENCH_FLAGSHIP_REMAT (default 1).
 """
 
 import json
@@ -191,7 +192,7 @@ def bench_mono_fm(batch, steps):
             else "float32"
         ),
         compute_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
+            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
         ),
     )
@@ -218,7 +219,7 @@ def bench_flagship(batch, steps):
             else "float32"
         ),
         compute_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
+            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
         ),
     )
@@ -299,7 +300,7 @@ def main():
         "batch": used_batch,
         "remat": os.environ.get("BENCH_REMAT", "0") == "1",
         "compute_dtype": (
-            "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
+            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
         ),
         "ms_per_step": round(m["ms_per_step"], 1),
@@ -321,9 +322,10 @@ def main():
     }
 
     if os.environ.get("BENCH_SKIP_FLAGSHIP", "0") != "1":
+        default_fb = "8" if os.environ.get("BENCH_BF16", "1") == "1" else "4"
         fm, fbatch = _with_oom_fallback(
             bench_flagship,
-            int(os.environ.get("BENCH_FLAGSHIP_BATCH", "4")),
+            int(os.environ.get("BENCH_FLAGSHIP_BATCH", default_fb)),
             steps,
         )
         base_fs = _baseline("tripleD_r50_320x1024")
@@ -335,7 +337,7 @@ def main():
                 "batch": fbatch,
                 "remat": os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
                 "compute_dtype": (
-                    "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1"
+                    "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
                     else "float32"
                 ),
                 "ms_per_step": round(fm["ms_per_step"], 1),

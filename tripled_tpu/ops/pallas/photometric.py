@@ -63,13 +63,34 @@ def pallas_available() -> bool:
 
 
 def supports_shape(height: int, width: int) -> bool:
-    """Mosaic constraint: the kernel slices W lanes out of its 128-padded
-    VMEM slabs, and lane-dim slices must be 128-aligned (a W=192 config
-    fails to compile with 'Slice shape along dimension 2 must be aligned
-    to tiling (128)'). Training widths 640/1024 qualify; callers must fall
-    back to the XLA path otherwise. H only needs 8-sublane DMA windows,
-    which the row-tile picker already guarantees for any H."""
-    return width % 128 == 0
+    """Mosaic constraints, verified on-device:
+
+    1. Lane alignment: the kernel slices W lanes out of its 128-padded
+       VMEM slabs, and lane-dim slices must be 128-aligned (a W=192 config
+       fails to compile with 'Slice shape along dimension 2 must be
+       aligned to tiling (128)'). Training widths 640/1024 qualify.
+    2. Scoped VMEM: despite the HBM in_specs, the compiler stages one
+       batch item's full (K, C, total_rows, WP) candidate slab per grid
+       step in scoped VMEM; the step fails to compile once that exceeds
+       the 16 MB limit ('Scoped allocation with size 17.29M ... exceeded
+       scoped vmem limit', flagship 320x1024 → 18.1 MB staged; mono_fm
+       192x640 → 7.4 MB, fine). Gate with a 14 MB margin so 320x1024
+       falls back to the XLA path instead of failing the whole compile.
+
+    H only needs 8-sublane DMA windows, which the row-tile picker already
+    guarantees for any H."""
+    if width % 128 != 0:
+        return False
+    th = next(
+        (t for t in range(16, 7, -1) if height % t == 0 and t % 8 == 0),
+        height,
+    )
+    win = -((th + 2) // -8) * 8
+    total_rows = height - th + win
+    wp = -((width + 2) // -128) * 128
+    k, c = 4, 3  # worst-case candidate count (2 warped + 2 identity), RGB
+    staged = k * c * total_rows * wp * 4
+    return staged <= 14 * 2**20
 
 
 def _kernel(tgt_ref, preds_ref, out_ref, idx_ref, *, K, TH, W, C):
