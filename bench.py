@@ -191,6 +191,7 @@ def bench_mono_fm(batch, steps):
             "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
             else "float32"
         ),
+        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
@@ -218,6 +219,7 @@ def bench_flagship(batch, steps):
             "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
             else "float32"
         ),
+        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"

@@ -89,6 +89,16 @@ print("RESULT " + json.dumps({
     "rmse_sharded": sharded_eval["rmse"],
     "rmse_seq": seq_eval["rmse"],
 }))
+sys.stdout.flush()
+# Exit without jax's atexit shutdown barrier: on the contended 1-core CI
+# host one process can lag past the barrier timeout and 'fail' after all
+# assertions passed (observed: 'Shutdown barrier in coordination service
+# has failed'). Shutdown semantics are not what this test checks.
+try:
+    jax.distributed.shutdown()
+except Exception as e:
+    print("shutdown barrier warning (ignored):", e)
+os._exit(0)
 """
 
 

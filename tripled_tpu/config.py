@@ -116,6 +116,12 @@ class ModelConfig:
     # sampling exactness for ~15% less gather time (BASELINE.md r3 log);
     # keep 'float32' for torch-parity work
     warp_gather_dtype: str = "float32"
+    # 2x2 output-block gather: one 4x4-patch gather serves 4 output pixels
+    # (4x fewer indices for the serial TPU gather engine). Exact bilinear
+    # except where a block's samples spread >3 px (depth-discontinuity
+    # pixels; clamped to the patch edge — ops/warp.py grid_sample_block).
+    # OPT-IN speed mode; default False keeps bit-exactness vs torch.
+    warp_block_gather: bool = False
     # fused Pallas photometric min-reprojection kernel (TPU only). Skips the
     # reference's 1e-5 gaussian tie-break noise on identity losses: exact
     # ties deterministically keep the identity candidate instead, which

@@ -55,6 +55,7 @@ from tripled_tpu.models.resnet import BasicBlock, stage_channels
 from tripled_tpu.ops import (
     disp_to_depth,
     grid_sample,
+    grid_sample_block,
     invert_intrinsics,
     reprojection_loss,
     rgb2lab,
@@ -461,6 +462,16 @@ class TripleDNet(nn.Module):
             if self.cfg.warp_gather_dtype == "bfloat16"
             else None
         )
+        if (
+            self.cfg.warp_block_gather
+            and method == "bilinear"
+            and img.shape[-1] <= 4
+            and coords.shape[1] % 2 == 0
+            and coords.shape[2] % 2 == 0
+        ):
+            # 4x fewer gather indices; exact except at >3px-spread
+            # discontinuities (ops/warp.py grid_sample_block docstring)
+            return grid_sample_block(img, coords, gather_dtype=gd)
         return grid_sample(img, coords, method=method, gather_dtype=gd)
 
     def _warp_colors(self, inputs, outputs, disp):

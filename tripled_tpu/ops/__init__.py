@@ -10,7 +10,7 @@ from tripled_tpu.ops.geometry import (
     scale_intrinsics,
     warp_coords,
 )
-from tripled_tpu.ops.warp import grid_sample, warp_pixel_coords
+from tripled_tpu.ops.warp import grid_sample, grid_sample_block, warp_pixel_coords
 from tripled_tpu.ops.ssim import ssim
 from tripled_tpu.ops.image import (
     resize_bilinear,

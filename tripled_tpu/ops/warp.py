@@ -157,6 +157,90 @@ def grid_sample(
     return out.reshape(b, ho, wo, c)
 
 
+def grid_sample_block(
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """Bilinear warp with 4x fewer gather indices via 2x2 output blocking.
+
+    The TPU gather engine is serial in the INDEX COUNT (~10-15 ns/index,
+    BASELINE.md round-3 characterization), so the lever left after the
+    4-corner patch trick is issuing fewer indices. Reprojection flow is
+    smooth almost everywhere: the 4 sample points of a 2x2 block of
+    output pixels nearly always land inside one 4x4 source patch. This
+    path gathers ONE 4x4xC patch (48 channels for RGB, zero-padded to the
+    64-lane fast-gather row — the same HBM footprint as the pad64 path)
+    per 2x2 output block and reconstructs each pixel's bilinear sample
+    from the patch with dense relu-tent weights on the VPU.
+
+    EXACTNESS: identical to `grid_sample` wherever every sample of the
+    block lands within 3 px of the block's min corner (floor(min) anchor)
+    — in practice everything except depth-discontinuity pixels (<~1% on
+    KITTI-like flow; tests/test_warp_block.py quantifies). Violating
+    samples are clamped to the patch edge (nearest-in-patch along the
+    offending axis). This is therefore an OPT-IN speed mode
+    (ModelConfig.warp_block_gather); the default path stays bit-exact vs
+    torch grid_sample.
+
+    Requires even output H and W; small C (callers gate at C <= 4).
+    """
+    b, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    p = 4  # patch side
+    x = jnp.clip(coords[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(coords[..., 1], 0.0, h - 1.0)
+
+    # block anchor: floor of the block-min, clamped so the patch stays
+    # in-bounds (gradient-free by construction: floor/min of clipped ints)
+    xb = x.reshape(b, ho // 2, 2, wo // 2, 2)
+    yb = y.reshape(b, ho // 2, 2, wo // 2, 2)
+    xa = jnp.clip(
+        jnp.floor(jax.lax.stop_gradient(xb).min(axis=(2, 4))), 0, w - p
+    ).astype(jnp.int32)
+    ya = jnp.clip(
+        jnp.floor(jax.lax.stop_gradient(yb).min(axis=(2, 4))), 0, h - p
+    ).astype(jnp.int32)
+
+    # 4x4 pre-shifted planes, edge-replicated (border semantics: clamping
+    # x0+dx at w-1 == replicating the last column, as in `grid_sample`)
+    imgp = jnp.pad(img, ((0, 0), (0, p - 1), (0, p - 1), (0, 0)), mode="edge")
+    planes = [
+        imgp[:, dy : dy + h, dx : dx + w, :]
+        for dy in range(p)
+        for dx in range(p)
+    ]
+    patches = jnp.concatenate(planes, axis=-1)  # (B, H, W, 16C)
+    if gather_dtype is not None:
+        patches = patches.astype(gather_dtype)
+    pc = p * p * c
+    pad64_bytes = b * h * w * 64 * jnp.dtype(patches.dtype).itemsize
+    if pc < 64 and pad64_bytes <= _pad64_cap():
+        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, 0), (0, 64 - pc)))
+        patches = jax.lax.optimization_barrier(patches)
+        pc = 64
+    g = _gather_flat(
+        patches.reshape(b, h * w, pc), (ya * w + xa).reshape(b, -1)
+    )[..., : p * p * c]
+    if g.dtype != img.dtype:
+        g = g.astype(img.dtype)
+    # (B, hb, wb, dy, dx, C), broadcast over the 2x2 block positions
+    g = g.reshape(b, ho // 2, 1, wo // 2, 1, p, p, c)
+
+    # relu-tent weights; offsets clamped into the patch (the inexact case)
+    rx = jnp.clip(xb - xa[:, :, None, :, None].astype(xb.dtype), 0.0, p - 1.0)
+    ry = jnp.clip(yb - ya[:, :, None, :, None].astype(yb.dtype), 0.0, p - 1.0)
+    dxr = jnp.arange(p, dtype=img.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - dxr))  # (..., 4)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - dxr))
+    # nested weighted sum, fused elementwise on the VPU: contract x then y
+    out = (
+        (g * wx[:, :, :, :, :, None, :, None]).sum(axis=6)
+        * wy[:, :, :, :, :, :, None]
+    ).sum(axis=5)
+    return out.reshape(b, ho, wo, c)
+
+
 def warp_pixel_coords(
     img: jnp.ndarray,
     normalized_coords: jnp.ndarray,
