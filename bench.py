@@ -28,6 +28,8 @@ absent the ratio is null, never an assumed constant.
 
 Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
+BENCH_BLOCK_WARP (default 1: 2x2 block-gather warp, +17%; set 0 for the
+bit-exact warp),
 BENCH_BF16 (default 1: bf16 conv trunks win +5.7%/+22% end-to-end and
 bs8 flagship fits; set 0 for the f32 comparison row), BENCH_BF16_WARP=1
 (bf16 gather texels), BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH
@@ -188,10 +190,10 @@ def bench_mono_fm(batch, steps):
         use_pallas_photometric=os.environ.get("BENCH_PALLAS", "1") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         warp_gather_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
             else "float32"
         ),
-        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
+        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
@@ -202,6 +204,12 @@ def bench_mono_fm(batch, steps):
 
 def bench_flagship(batch, steps):
     from tripled_tpu.config import ModelConfig
+
+    if os.environ.get("BENCH_BF16_WARP", "1") == "1":
+        # bf16 64-lane patch tensors at 320x1024 bs8 are 1.35 GB/frame;
+        # allow the fast-gather mode (default cap 1 GB was set for f32
+        # mono_fm bs48 - BASELINE.md round-3 log)
+        os.environ.setdefault("TRIPLED_WARP_PAD64_CAP", "1500000000")
 
     cfg = ModelConfig(
         name="mono_fm_joint_inpaint_disentangle",
@@ -216,10 +224,10 @@ def bench_flagship(batch, steps):
         perception_weight=1e-3,
         remat=os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
         warp_gather_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
             else "float32"
         ),
-        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
+        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
         compute_dtype=(
             "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
@@ -305,6 +313,11 @@ def main():
             "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
             else "float32"
         ),
+        "warp_block_gather": os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
+        "warp_gather_dtype": (
+            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
+            else "float32"
+        ),
         "ms_per_step": round(m["ms_per_step"], 1),
         "flops_per_step": m["flops_per_step"],
         "tflops_per_sec": round(m["tflops_per_sec"], 2)
@@ -340,6 +353,13 @@ def main():
                 "remat": os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
                 "compute_dtype": (
                     "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
+                    else "float32"
+                ),
+                "warp_block_gather": os.environ.get("BENCH_BLOCK_WARP", "1")
+                == "1",
+                "warp_gather_dtype": (
+                    "bfloat16"
+                    if os.environ.get("BENCH_BF16_WARP", "1") == "1"
                     else "float32"
                 ),
                 "ms_per_step": round(fm["ms_per_step"], 1),
