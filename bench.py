@@ -26,7 +26,7 @@ torch implementation's own train-step throughput on this host's CPU
 publishes no numbers and no GPU exists here — BASELINE.md). If that file is
 absent the ratio is null, never an assumed constant.
 
-Env overrides: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
+Env overrides: BENCH_BATCH (default 16: best honest mono_fm config, 52.4 imgs/s; bs8=49.0), BENCH_STEPS (default 20),
 BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
 BENCH_BLOCK_WARP (default 1: 2x2 block-gather warp, +17%; set 0 for the
 bit-exact warp),
@@ -282,7 +282,7 @@ def main():
     enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "train")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     if mode == "infer":
         fps = bench_infer(steps=max(steps, 20))

@@ -47,6 +47,11 @@ def main():
             compute_dtype=(
                 "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1" else "float32"
             ),
+            warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
+            warp_gather_dtype=(
+                "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+                else "float32"
+            ),
         )
     else:
         from tripled_tpu.config import ModelConfig
