@@ -30,6 +30,14 @@ def main():
             width=640,
             perception_weight=1e-3,
             remat=os.environ.get("BENCH_REMAT", "1") == "1",
+            compute_dtype=(
+                "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1" else "float32"
+            ),
+            warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
+            warp_gather_dtype=(
+                "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
+                else "float32"
+            ),
         )
     else:
         raise SystemExit("only mono_fm for now")

@@ -122,6 +122,17 @@ class ModelConfig:
     # pixels; clamped to the patch edge — ops/warp.py grid_sample_block).
     # OPT-IN speed mode; default False keeps bit-exactness vs torch.
     warp_block_gather: bool = False
+    # output-block shape (bh, bw) for the block-gather warp: (2, 4) halves
+    # the index count again vs (2, 2) (patch rows pad 72->128 lanes, the
+    # second fast-gather width — dev/gather_bench4.py) at a wider
+    # clamp-tolerance patch (5 px spread in x instead of 3)
+    warp_block_shape: tuple = (2, 2)
+    # apply the block gather to the 64-ch half-res feature warp too:
+    # one 1024-lane patch gather per 2x2 block replaces the pairwise
+    # 2x(128-lane) gathers — ~2.8x fewer gather-engine cycles (gb6), at
+    # the same clamped-discontinuity approximation as the color path and
+    # +1 GB/frame of patch HBM at bs16 @192x640 bf16
+    warp_block_features: bool = False
     # fused Pallas photometric min-reprojection kernel (TPU only). Skips the
     # reference's 1e-5 gaussian tie-break noise on identity losses: exact
     # ties deterministically keep the identity candidate instead, which

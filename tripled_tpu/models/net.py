@@ -462,16 +462,21 @@ class TripleDNet(nn.Module):
             if self.cfg.warp_gather_dtype == "bfloat16"
             else None
         )
+        c = img.shape[-1]
         if (
             self.cfg.warp_block_gather
             and method == "bilinear"
-            and img.shape[-1] <= 4
-            and coords.shape[1] % 2 == 0
-            and coords.shape[2] % 2 == 0
+            and (c <= 4 or (self.cfg.warp_block_features and c <= 64))
         ):
-            # 4x fewer gather indices; exact except at >3px-spread
-            # discontinuities (ops/warp.py grid_sample_block docstring)
-            return grid_sample_block(img, coords, gather_dtype=gd)
+            # narrow (color) warps use cfg.warp_block_shape; wide (feature)
+            # warps stay at 2x2 so patch rows cap at 1024 lanes
+            bh, bw = self.cfg.warp_block_shape if c <= 4 else (2, 2)
+            if coords.shape[1] % bh == 0 and coords.shape[2] % bw == 0:
+                # bh*bw fewer gather indices; exact except at wide-spread
+                # discontinuities (ops/warp.py grid_sample_block docstring)
+                return grid_sample_block(
+                    img, coords, gather_dtype=gd, block=(bh, bw)
+                )
         return grid_sample(img, coords, method=method, gather_dtype=gd)
 
     def _warp_colors(self, inputs, outputs, disp):

@@ -108,7 +108,7 @@ def grid_sample(
     # reproduces x1 = min(x0+1, w-1) / y1 = min(y0+1, h-1) exactly.
     right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
     idx00 = y0i * w + x0i
-    if c <= 32:
+    if c <= 64:
         # one gather per output pixel fetching all 4 corners (4C channels)
         down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
         downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
@@ -142,12 +142,18 @@ def grid_sample(
         v10 = g[..., 2 * c : 3 * c]
         v11 = g[..., 3 * c : 4 * c]
     else:
-        # wide channels: two gathers of (img, right) pairs — caps the
+        # very wide channels: two gathers of (img, right) pairs — caps the
         # transient patch tensor at 2x the source size
-        pair = jnp.concatenate([img, right], axis=-1).reshape(b, h * w, 2 * c)
+        pair = jnp.concatenate([img, right], axis=-1)
+        if gather_dtype is not None:
+            pair = pair.astype(gather_dtype)
+        pair = pair.reshape(b, h * w, 2 * c)
         y1i = jnp.minimum(y0i + 1, h - 1)
         g0 = _gather_flat(pair, idx00)
         g1 = _gather_flat(pair, y1i * w + x0i)
+        if g0.dtype != img.dtype:
+            g0 = g0.astype(img.dtype)
+            g1 = g1.astype(img.dtype)
         v00, v01 = g0[..., :c], g0[..., c:]
         v10, v11 = g1[..., :c], g1[..., c:]
 
@@ -161,78 +167,88 @@ def grid_sample_block(
     img: jnp.ndarray,
     coords: jnp.ndarray,
     gather_dtype=None,
+    block: tuple[int, int] = (2, 2),
 ) -> jnp.ndarray:
-    """Bilinear warp with 4x fewer gather indices via 2x2 output blocking.
+    """Bilinear warp with bh*bw-fold fewer gather indices via output blocking.
 
     The TPU gather engine is serial in the INDEX COUNT (~10-15 ns/index,
     BASELINE.md round-3 characterization), so the lever left after the
     4-corner patch trick is issuing fewer indices. Reprojection flow is
-    smooth almost everywhere: the 4 sample points of a 2x2 block of
-    output pixels nearly always land inside one 4x4 source patch. This
-    path gathers ONE 4x4xC patch (48 channels for RGB, zero-padded to the
-    64-lane fast-gather row — the same HBM footprint as the pad64 path)
-    per 2x2 output block and reconstructs each pixel's bilinear sample
-    from the patch with dense relu-tent weights on the VPU.
+    smooth almost everywhere: the bh*bw sample points of a block of
+    output pixels nearly always land inside one (bh+2)x(bw+2) source
+    patch. This path gathers ONE patch per output block (e.g. 2x2 RGB:
+    4x4x3 = 48 channels zero-padded to the 64-lane fast-gather row; 2x4
+    RGB: 4x6x3 = 72 -> 128 lanes at half the index count again —
+    dev/gather_bench4.py / gb6) and reconstructs each pixel's bilinear
+    sample from the patch with dense relu-tent weights on the VPU.
 
     EXACTNESS: identical to `grid_sample` wherever every sample of the
-    block lands within 3 px of the block's min corner (floor(min) anchor)
-    — in practice everything except depth-discontinuity pixels (<~1% on
-    KITTI-like flow; tests/test_warp_block.py quantifies). Violating
-    samples are clamped to the patch edge (nearest-in-patch along the
-    offending axis). This is therefore an OPT-IN speed mode
-    (ModelConfig.warp_block_gather); the default path stays bit-exact vs
-    torch grid_sample.
+    block lands within (patch_side - 1) px of the block's min corner
+    (floor(min) anchor) — in practice everything except
+    depth-discontinuity pixels (<~1% on KITTI-like flow;
+    tests/test_warp_block.py quantifies). Violating samples are clamped
+    to the patch edge (nearest-in-patch along the offending axis). This
+    is therefore an OPT-IN speed mode (ModelConfig.warp_block_gather);
+    the default path stays bit-exact vs torch grid_sample.
 
-    Requires even output H and W; small C (callers gate at C <= 4).
+    Requires output H % bh == 0 and W % bw == 0. Works for wide channels
+    too (e.g. the 64-ch feature warp: 4x4x64 = 1024-lane patch rows, 4x
+    fewer indices than even one full gather — ModelConfig.
+    warp_block_features).
     """
     b, h, w, c = img.shape
     _, ho, wo, _ = coords.shape
-    p = 4  # patch side
+    bh, bw = block
+    py, px = bh + 2, bw + 2  # patch sides
     x = jnp.clip(coords[..., 0], 0.0, w - 1.0)
     y = jnp.clip(coords[..., 1], 0.0, h - 1.0)
 
     # block anchor: floor of the block-min, clamped so the patch stays
     # in-bounds (gradient-free by construction: floor/min of clipped ints)
-    xb = x.reshape(b, ho // 2, 2, wo // 2, 2)
-    yb = y.reshape(b, ho // 2, 2, wo // 2, 2)
+    xb = x.reshape(b, ho // bh, bh, wo // bw, bw)
+    yb = y.reshape(b, ho // bh, bh, wo // bw, bw)
     xa = jnp.clip(
-        jnp.floor(jax.lax.stop_gradient(xb).min(axis=(2, 4))), 0, w - p
+        jnp.floor(jax.lax.stop_gradient(xb).min(axis=(2, 4))), 0, w - px
     ).astype(jnp.int32)
     ya = jnp.clip(
-        jnp.floor(jax.lax.stop_gradient(yb).min(axis=(2, 4))), 0, h - p
+        jnp.floor(jax.lax.stop_gradient(yb).min(axis=(2, 4))), 0, h - py
     ).astype(jnp.int32)
 
-    # 4x4 pre-shifted planes, edge-replicated (border semantics: clamping
+    # py*px pre-shifted planes, edge-replicated (border semantics: clamping
     # x0+dx at w-1 == replicating the last column, as in `grid_sample`)
-    imgp = jnp.pad(img, ((0, 0), (0, p - 1), (0, p - 1), (0, 0)), mode="edge")
+    imgp = jnp.pad(img, ((0, 0), (0, py - 1), (0, px - 1), (0, 0)), mode="edge")
     planes = [
         imgp[:, dy : dy + h, dx : dx + w, :]
-        for dy in range(p)
-        for dx in range(p)
+        for dy in range(py)
+        for dx in range(px)
     ]
-    patches = jnp.concatenate(planes, axis=-1)  # (B, H, W, 16C)
+    patches = jnp.concatenate(planes, axis=-1)  # (B, H, W, py*px*C)
     if gather_dtype is not None:
         patches = patches.astype(gather_dtype)
-    pc = p * p * c
-    pad64_bytes = b * h * w * 64 * jnp.dtype(patches.dtype).itemsize
-    if pc < 64 and pad64_bytes <= _pad64_cap():
-        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, 0), (0, 64 - pc)))
+    pc = py * px * c
+    # pad rows up to the next fast-gather width (64 or 128 lanes; both are
+    # faster per index than the 12-56 lane modes — dev/gather_bench3.py)
+    pad_to = 64 if pc <= 64 else (128 if pc <= 128 else pc)
+    padded_bytes = b * h * w * pad_to * jnp.dtype(patches.dtype).itemsize
+    if pc < pad_to and padded_bytes <= _pad64_cap():
+        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, 0), (0, pad_to - pc)))
         patches = jax.lax.optimization_barrier(patches)
-        pc = 64
+        pc = pad_to
     g = _gather_flat(
         patches.reshape(b, h * w, pc), (ya * w + xa).reshape(b, -1)
-    )[..., : p * p * c]
+    )[..., : py * px * c]
     if g.dtype != img.dtype:
         g = g.astype(img.dtype)
-    # (B, hb, wb, dy, dx, C), broadcast over the 2x2 block positions
-    g = g.reshape(b, ho // 2, 1, wo // 2, 1, p, p, c)
+    # (B, hb, wb, dy, dx, C), broadcast over the bh*bw block positions
+    g = g.reshape(b, ho // bh, 1, wo // bw, 1, py, px, c)
 
     # relu-tent weights; offsets clamped into the patch (the inexact case)
-    rx = jnp.clip(xb - xa[:, :, None, :, None].astype(xb.dtype), 0.0, p - 1.0)
-    ry = jnp.clip(yb - ya[:, :, None, :, None].astype(yb.dtype), 0.0, p - 1.0)
-    dxr = jnp.arange(p, dtype=img.dtype)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - dxr))  # (..., 4)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - dxr))
+    rx = jnp.clip(xb - xa[:, :, None, :, None].astype(xb.dtype), 0.0, px - 1.0)
+    ry = jnp.clip(yb - ya[:, :, None, :, None].astype(yb.dtype), 0.0, py - 1.0)
+    dxr = jnp.arange(px, dtype=img.dtype)
+    dyr = jnp.arange(py, dtype=img.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - dxr))  # (..., px)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - dyr))  # (..., py)
     # nested weighted sum, fused elementwise on the VPU: contract x then y
     out = (
         (g * wx[:, :, :, :, :, None, :, None]).sum(axis=6)
