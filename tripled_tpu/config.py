@@ -145,6 +145,20 @@ class ModelConfig:
     # extra FLOPs for the memory to fit bs≥3 at 320×1024 (SURVEY §7 hard parts)
     remat: bool = False
 
+    def __post_init__(self):
+        # normalize/validate warp_block_shape (ADVICE r3): presets may pass a
+        # list; a non-positive or malformed value would otherwise crash (or
+        # silently mis-reshape) deep inside the jitted warp.
+        bs = tuple(self.warp_block_shape)
+        if len(bs) != 2 or not all(
+            isinstance(v, int) and v >= 1 for v in bs
+        ):
+            raise ValueError(
+                f"warp_block_shape must be two positive ints, got "
+                f"{self.warp_block_shape!r}"
+            )
+        object.__setattr__(self, "warp_block_shape", bs)
+
     @property
     def num_frames(self) -> int:
         return len(self.frame_ids)

@@ -71,6 +71,10 @@ from tripled_tpu.ops import (
 )
 from tripled_tpu.ops.image import resize_bilinear
 
+# channel width up to which a warped tensor is treated as "color" (RGB /
+# RGBA / single-channel masks) by the block-gather dispatch in _grid_sample
+_COLOR_WARP_MAX_CH = 4
+
 
 class _SkipSplit(nn.Module):
     """One disentangle skip layer: optional attention, then channel split
@@ -463,14 +467,24 @@ class TripleDNet(nn.Module):
             else None
         )
         c = img.shape[-1]
+        # color-vs-feature warp split: at most _COLOR_WARP_MAX_CH channels
+        # counts as a "color" warp and uses cfg.warp_block_shape; wider
+        # tensors (the 64-ch perceptual features) are only block-gathered
+        # when cfg.warp_block_features is set, and stay at 2x2 so patch
+        # rows cap at 1024 lanes
         if (
             self.cfg.warp_block_gather
             and method == "bilinear"
-            and (c <= 4 or (self.cfg.warp_block_features and c <= 64))
+            and (
+                c <= _COLOR_WARP_MAX_CH
+                or (self.cfg.warp_block_features and c <= 64)
+            )
         ):
-            # narrow (color) warps use cfg.warp_block_shape; wide (feature)
-            # warps stay at 2x2 so patch rows cap at 1024 lanes
-            bh, bw = self.cfg.warp_block_shape if c <= 4 else (2, 2)
+            bh, bw = (
+                self.cfg.warp_block_shape
+                if c <= _COLOR_WARP_MAX_CH
+                else (2, 2)
+            )
             if coords.shape[1] % bh == 0 and coords.shape[2] % bw == 0:
                 # bh*bw fewer gather indices; exact except at wide-spread
                 # discontinuities (ops/warp.py grid_sample_block docstring)

@@ -108,7 +108,13 @@ def grid_sample(
     # reproduces x1 = min(x0+1, w-1) / y1 = min(y0+1, h-1) exactly.
     right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
     idx00 = y0i * w + x0i
-    if c <= 64:
+    # Wide channels (33..64) only take the 4-corner path when the 4C patch
+    # tensor fits the byte cap: at C=64 it is 4x the source (vs 2x for the
+    # pairwise fallback), which flips memory-tight configs into OOM
+    # (ADVICE r3). Narrow channels always qualify (patch <= 128 lanes).
+    patch_itemsize = jnp.dtype(gather_dtype or img.dtype).itemsize
+    patch4_bytes = b * h * w * 4 * c * patch_itemsize
+    if c <= 32 or (c <= 64 and patch4_bytes <= _pad64_cap()):
         # one gather per output pixel fetching all 4 corners (4C channels)
         down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
         downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
@@ -200,6 +206,18 @@ def grid_sample_block(
     _, ho, wo, _ = coords.shape
     bh, bw = block
     py, px = bh + 2, bw + 2  # patch sides
+    # A block wider than (2,2) is only a win when its patch rows reach the
+    # next fast-gather width (128 lanes); if the byte cap refuses that pad
+    # the gather would run at a slow 65..127-lane mode AND carry the wider
+    # clamp tolerance — strictly worse than (2,2) (ADVICE r3). Fall back.
+    if (bh, bw) != (2, 2):
+        pc_w = py * px * c
+        pad_to_w = 64 if pc_w <= 64 else (128 if pc_w <= 128 else pc_w)
+        itemsize = jnp.dtype(gather_dtype or img.dtype).itemsize
+        if pc_w < pad_to_w and b * h * w * pad_to_w * itemsize > _pad64_cap():
+            return grid_sample_block(
+                img, coords, gather_dtype=gather_dtype, block=(2, 2)
+            )
     x = jnp.clip(coords[..., 0], 0.0, w - 1.0)
     y = jnp.clip(coords[..., 1], 0.0, h - 1.0)
 
