@@ -224,3 +224,95 @@ def test_device_jitter_train_step(kitti_tree):
     step = make_train_step(model, tx, donate=False)
     _, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ship_uint8_bitexact_vs_float(kitti_tree):
+    """ship_uint8 samples reproduce the float path exactly after /255:
+    the frames sit on the same uint8/255 grid the decode cache (and the
+    reference's post-PIL-resize ToTensor) uses."""
+    f_ds = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        cfg=DataConfig(device_color_aug=True, decode_cache_mb=64),
+    )
+    u_ds = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        cfg=DataConfig(
+            device_color_aug=True, decode_cache_mb=64, ship_uint8=True
+        ),
+    )
+    for idx in range(4):
+        for seed in range(4):
+            a = f_ds.sample(idx, np.random.RandomState(seed))
+            b = u_ds.sample(idx, np.random.RandomState(seed))
+            assert b["color"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                a["color"], b["color"].astype(np.float32) / 255.0
+            )
+            np.testing.assert_array_equal(
+                a["jitter_params"], b["jitter_params"]
+            )
+    # eval mode: color_aug ships uint8 too
+    u_eval = _make(
+        KITTIRawDataset,
+        kitti_tree,
+        is_train=False,
+        cfg=DataConfig(ship_uint8=True),
+    )
+    s = u_eval.sample(0, np.random.RandomState(0))
+    assert s["color"].dtype == np.uint8
+    assert s["color_aug"].dtype == np.uint8
+
+
+def test_ship_uint8_requires_device_color_aug(kitti_tree):
+    with pytest.raises(ValueError):
+        _make(
+            KITTIRawDataset,
+            kitti_tree,
+            cfg=DataConfig(ship_uint8=True),
+        )
+
+
+def test_ship_uint8_train_step_matches_float(kitti_tree):
+    """The model normalizes uint8 inputs on device: a train step fed the
+    uint8 batch produces the same loss as the float batch."""
+    import dataclasses
+
+    import jax
+
+    from tests.test_models import base_cfg
+    from tripled_tpu.config import OptimConfig
+    from tripled_tpu.models import build_model, canonicalize
+    from tripled_tpu.train.optim import make_optimizer
+    from tripled_tpu.train.state import create_train_state
+    from tripled_tpu.train.step import make_train_step
+
+    cfg = canonicalize(
+        dataclasses.replace(
+            base_cfg("mono_fm"),
+            height=64, width=192, pose_height=64, pose_width=192,
+        )
+    )
+    model = build_model(cfg)
+
+    def batch_for(data_cfg):
+        ds = _make(KITTIRawDataset, kitti_tree, cfg=data_cfg)
+        samples = [ds.sample(i, np.random.RandomState(i)) for i in range(2)]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    fb = batch_for(DataConfig(device_color_aug=True, decode_cache_mb=64))
+    ub = batch_for(
+        DataConfig(device_color_aug=True, decode_cache_mb=64, ship_uint8=True)
+    )
+    assert ub["color"].dtype == np.uint8
+    tx, _ = make_optimizer(OptimConfig(warmup_iters=1), steps_per_epoch=10)
+    state = create_train_state(model, tx, fb, seed=0)
+    step = make_train_step(model, tx, donate=False)
+    _, mf = step(state, fb, jax.random.PRNGKey(0))
+    _, mu = step(state, ub, jax.random.PRNGKey(0))
+    # XLA fuses the on-device /255 into different elementwise chains than
+    # the host-normalized batch sees -> float-noise-level differences
+    np.testing.assert_allclose(
+        float(mf["loss"]), float(mu["loss"]), rtol=1e-5
+    )

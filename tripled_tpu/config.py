@@ -203,6 +203,14 @@ class DataConfig:
     # host sample-assembly time and host->device transfer. Same factor
     # distribution / rng stream as the host path.
     device_color_aug: bool = False
+    # ship frames to the device as uint8 and divide by 255 on-chip
+    # (net.py converts any uint8 `color`/`color_aug` input): 4x smaller
+    # host->device transfer and no host float conversion. NUMERICALLY
+    # EXACT vs the reference: PIL resize outputs uint8, so the reference's
+    # ToTensor inputs always sit on the uint8/255 grid
+    # (mono_dataset.py:118-127). Training requires device_color_aug=True
+    # (the host ColorJitter path needs float frames).
+    ship_uint8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -116,6 +116,12 @@ class MonoDataset:
             from tripled_tpu.data import native_loader
 
             self.use_native = native_loader.available()
+        if self.cfg.ship_uint8 and is_train and not self.cfg.device_color_aug:
+            raise ValueError(
+                "DataConfig.ship_uint8 requires device_color_aug=True for "
+                "training datasets (the host ColorJitter path needs float "
+                "frames)"
+            )
         cap_mb = int(
             os.environ.get(
                 "TRIPLED_DECODE_CACHE_MB", str(self.cfg.decode_cache_mb)
@@ -151,8 +157,11 @@ class MonoDataset:
         side = line[2] if len(line) == 3 else None
         return folder, frame_index, side
 
-    def _load_resized(self, folder, frame_index, side, do_flip) -> np.ndarray:
-        """One frame → float32 (H, W, 3) in [0,1], resized + optionally
+    def _load_resized(
+        self, folder, frame_index, side, do_flip, as_uint8=False
+    ) -> np.ndarray:
+        """One frame → float32 (H, W, 3) in [0,1] (or uint8 [0,255] when
+        `as_uint8`, for DataConfig.ship_uint8), resized + optionally
         flipped; decode-cache fast path, then native loader, then PIL."""
         cache = self._decode_cache
         path = (
@@ -168,9 +177,14 @@ class MonoDataset:
                 cache.put(path, hit)
             # fills are quantized too, so cache-on output sits on the
             # uint8/255 reference grid regardless of hit/miss or decoder
-            img = hit.astype(np.float32) / 255.0
+            img = hit if as_uint8 else hit.astype(np.float32) / 255.0
             return img[:, ::-1] if do_flip else img
-        return self._decode(folder, frame_index, side, do_flip)
+        dec = self._decode(folder, frame_index, side, do_flip)
+        if as_uint8:
+            # same quantization as the cache fill: the uint8/255 grid is
+            # the reference's own post-PIL-resize grid
+            return np.rint(dec * 255.0).astype(np.uint8)
+        return dec
 
     def _cache_key(self, folder, frame_index, side):
         """Decode-cache key for one frame; None disables caching for it
@@ -196,19 +210,28 @@ class MonoDataset:
 
     def load_frames(self, index, do_flip):
         folder, frame_index, side = self.parse_line(index)
+        u8 = self.cfg.ship_uint8
         frames = []
         for i in self.frame_ids:
             if i == "s":
                 other = {"r": "l", "l": "r"}[side]
-                frames.append(self._load_resized(folder, frame_index, other, do_flip))
+                frames.append(
+                    self._load_resized(
+                        folder, frame_index, other, do_flip, as_uint8=u8
+                    )
+                )
             else:
                 try:
                     frames.append(
-                        self._load_resized(folder, frame_index + i, side, do_flip)
+                        self._load_resized(
+                            folder, frame_index + i, side, do_flip, as_uint8=u8
+                        )
                     )
                 except Exception:
                     frames.append(
-                        self._load_resized(folder, frame_index, side, do_flip)
+                        self._load_resized(
+                            folder, frame_index, side, do_flip, as_uint8=u8
+                        )
                     )
         return frames, side
 
@@ -217,7 +240,10 @@ class MonoDataset:
         do_flip = self.is_train and rng.rand() > 0.5
 
         frames, side = self.load_frames(index, do_flip)
-        colors = np.stack(frames)  # (F, H, W, 3) float32 [0,1]
+        # (F, H, W, 3) float32 [0,1] — or uint8 [0,255] under ship_uint8
+        # (net.py divides on device; same uint8/255 grid either way)
+        colors = np.stack(frames)
+        u8 = colors.dtype == np.uint8
         jitter_params = None
         if self.is_train and self.cfg.device_color_aug:
             # TPU-native mode: ship the factors, synthesize color_aug on
@@ -238,7 +264,7 @@ class MonoDataset:
         inv_K = np.linalg.pinv(K).astype(np.float32)
 
         out = {
-            "color": colors.astype(np.float32),
+            "color": colors if u8 else colors.astype(np.float32),
             "K": K.astype(np.float32),
             "inv_K": inv_K,
         }
@@ -246,6 +272,8 @@ class MonoDataset:
             # device mode: color_aug is synthesized on-chip from `color` +
             # these 9 floats (net.py __call__), halving host->device bytes
             out["jitter_params"] = jitter_params
+        elif u8:
+            out["color_aug"] = color_aug  # shared uint8; device divides
         else:
             out["color_aug"] = color_aug.astype(np.float32)
         if self.cfg.add_lab:
@@ -260,7 +288,9 @@ class MonoDataset:
             )
             labs = []
             for c in colors:
-                im = Image.fromarray((c * 255).astype(np.uint8))
+                im = Image.fromarray(
+                    c if u8 else (c * 255).astype(np.uint8)
+                )
                 labs.append(
                     np.asarray(ImageCms.applyTransform(im, tf), np.float32) / 255.0
                 )

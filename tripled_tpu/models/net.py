@@ -279,6 +279,15 @@ class TripleDNet(nn.Module):
 
     def __call__(self, inputs: Dict[str, Any], train: bool = True):
         c = self.cfg
+        # DataConfig.ship_uint8: frames arrive as uint8 and are normalized
+        # here, on-chip (4x smaller host->device transfer; exactly the
+        # uint8/255 grid the reference's post-PIL-resize ToTensor sees)
+        for key in ("color", "color_aug"):
+            if key in inputs and inputs[key].dtype == jnp.uint8:
+                inputs = dict(
+                    inputs,
+                    **{key: inputs[key].astype(jnp.float32) / 255.0},
+                )
         if train and "jitter_params" in inputs:
             # device-side ColorJitter (DataConfig.device_color_aug): the
             # pipeline ships 9 floats/sample instead of a second image set
