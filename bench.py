@@ -1,13 +1,23 @@
 """Benchmark: single-chip training throughput (imgs/sec), honestly timed.
 
-Measures TWO configs (VERDICT r1 item 4):
+Measures (VERDICT r1 item 4, r3 items 2/3/7):
   - mono_fm R50/R18 @192x640 (cfg_kitti_fm.py geometry) — primary metric,
     comparable across rounds under the stable id
-    `train_imgs_per_sec_mono_fm_r50_192x640` (batch/remat are separate
-    fields, ADVICE r2).
+    `train_imgs_per_sec_mono_fm_r50_192x640` (batch/remat are fields).
   - TripleD flagship mono_fm_joint_inpaint_disentangle R50 @320x1024 with
-    remat (the paper config, cfg_kitti_tripleD.py:5-7,23-53) — in the
-    `also` field of the same JSON line.
+    remat (the paper config, cfg_kitti_tripleD.py:5-7,23-53) — in `also`.
+  - the bit-exact configuration (f32 compute, exact warp — ModelConfig
+    defaults) at its own best batch, under
+    `train_imgs_per_sec_mono_fm_r50_192x640_exact`, so parity-mode perf is
+    tracked beside the speed-mode headline every round (VERDICT r3 item 7).
+  - end-to-end throughput through the REAL host input pipeline
+    (synthetic on-disk KITTI tree -> BatchLoader -> prefetch_to_device ->
+    train step), cold and warm-cache epochs, under
+    `train_imgs_per_sec_mono_fm_r50_192x640_e2e` (VERDICT r3 item 2).
+
+Every `_with_oom_fallback` result records `requested_batch` and
+`fallback`: a silent batch halving can no longer masquerade as the
+intended config (VERDICT r3 item 3).
 
 Timing honesty (VERDICT r2 items 1 & 7): every timed window ends with a
 FORCED SCALAR READBACK of the step's loss (`float(metrics["loss"])`) —
@@ -26,15 +36,16 @@ torch implementation's own train-step throughput on this host's CPU
 publishes no numbers and no GPU exists here — BASELINE.md). If that file is
 absent the ratio is null, never an assumed constant.
 
-Env overrides: BENCH_BATCH (default 16: best honest mono_fm config, 52.4 imgs/s; bs8=49.0), BENCH_STEPS (default 20),
-BENCH_MODE=train|infer, BENCH_PALLAS=1, BENCH_REMAT (default 0),
-BENCH_BLOCK_WARP (default 1: 2x2 block-gather warp, +17%; set 0 for the
-bit-exact warp),
-BENCH_BF16 (default 1: bf16 conv trunks win +5.7%/+22% end-to-end and
-bs8 flagship fits; set 0 for the f32 comparison row), BENCH_BF16_WARP=1
-(bf16 gather texels), BENCH_SKIP_FLAGSHIP=1, BENCH_FLAGSHIP_BATCH
-(default 8 under bf16, 4 under f32 where bs8 OOMs with the 64-lane
-patch-gather warp), BENCH_FLAGSHIP_REMAT (default 1).
+Env overrides: BENCH_BATCH (default 16: best honest mono_fm config),
+BENCH_STEPS (default 20), BENCH_MODE=train|infer, BENCH_PALLAS=1,
+BENCH_REMAT (default 0), BENCH_BLOCK_WARP (default 1: 2x2 block-gather
+warp; 0 = bit-exact warp), BENCH_BF16 (default 1; 0 = f32),
+BENCH_BF16_WARP=1 (bf16 gather texels), BENCH_SKIP_FLAGSHIP=1,
+BENCH_FLAGSHIP_BATCH (default 8 under bf16, 4 under f32),
+BENCH_FLAGSHIP_REMAT (default 1), BENCH_EXACT (default 1; 0 skips the
+bit-exact row), BENCH_EXACT_BATCH (default 8: best known exact-mode batch),
+BENCH_E2E (default 1; 0 skips the input-pipeline row), BENCH_E2E_EPOCHS
+(default 4), BENCH_E2E_TREE (fixture dir, default /tmp/bench_e2e_kitti).
 """
 
 import json
@@ -50,6 +61,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 PEAK_TFLOPS = 197.0
 
 
+def _env1(name, default="1"):
+    return os.environ.get(name, default) == "1"
+
+
 def _baseline(config_key):
     try:
         with open(os.path.join(REPO, "REF_TORCH_CPU_BASELINE.json")) as f:
@@ -61,6 +76,90 @@ def _baseline(config_key):
 
 def _vs(value, baseline):
     return round(value / baseline, 3) if baseline else None
+
+
+# --------------------------------------------------------------- configs
+# Single source of truth for the benchmarked model configs; dev/
+# profile_step.py and dev/dump_hlo.py import these so published profiles
+# always match the bench operating point (VERDICT r3 item 1).
+
+
+def mono_fm_cfg(exact: bool = False):
+    """The mono_fm bench config. exact=True pins the bit-exact-vs-torch
+    numerics (f32 compute, exact f32 warp) regardless of env speed flags."""
+    from tripled_tpu.config import ModelConfig
+
+    return ModelConfig(
+        name="mono_fm",
+        depth_num_layers=50,
+        pose_num_layers=18,
+        extractor_num_layers=50,
+        height=192,
+        width=640,
+        perception_weight=1e-3,
+        use_pallas_photometric=_env1("BENCH_PALLAS"),
+        remat=_env1("BENCH_REMAT", "0"),
+        warp_gather_dtype=(
+            "bfloat16"
+            if not exact and _env1("BENCH_BF16_WARP")
+            else "float32"
+        ),
+        warp_block_gather=not exact and _env1("BENCH_BLOCK_WARP"),
+        warp_block_shape=tuple(
+            int(v)
+            for v in os.environ.get("BENCH_BLOCK_SHAPE", "2,2").split(",")
+        ),
+        warp_block_features=not exact and _env1("BENCH_BLOCK_FEATURES", "0"),
+        compute_dtype=(
+            "bfloat16" if not exact and _env1("BENCH_BF16") else "float32"
+        ),
+    )
+
+
+def flagship_cfg():
+    from tripled_tpu.config import ModelConfig
+
+    if _env1("BENCH_BF16_WARP"):
+        # bf16 64-lane patch tensors at 320x1024 bs8 are 1.35 GB/frame;
+        # allow the fast-gather mode (default cap 1 GB was set for f32
+        # mono_fm bs48 - BASELINE.md round-3 log)
+        os.environ.setdefault("TRIPLED_WARP_PAD64_CAP", "1500000000")
+
+    return ModelConfig(
+        name="mono_fm_joint_inpaint_disentangle",
+        depth_num_layers=50,
+        pose_num_layers=18,
+        extractor_num_layers=50,
+        height=320,
+        width=1024,
+        disentangle_layers=(False, False, False, False, True),
+        depth_disentangle_type="use_half",
+        auto_res_weight=5e-3,
+        perception_weight=1e-3,
+        remat=_env1("BENCH_FLAGSHIP_REMAT"),
+        warp_gather_dtype=(
+            "bfloat16" if _env1("BENCH_BF16_WARP") else "float32"
+        ),
+        warp_block_gather=_env1("BENCH_BLOCK_WARP"),
+        compute_dtype="bfloat16" if _env1("BENCH_BF16") else "float32",
+    )
+
+
+def _dtype_fields(exact: bool = False):
+    return {
+        "compute_dtype": (
+            "bfloat16" if not exact and _env1("BENCH_BF16") else "float32"
+        ),
+        "warp_block_gather": not exact and _env1("BENCH_BLOCK_WARP"),
+        "warp_gather_dtype": (
+            "bfloat16"
+            if not exact and _env1("BENCH_BF16_WARP")
+            else "float32"
+        ),
+    }
+
+
+# ----------------------------------------------------------------- build
 
 
 def _inputs(batch, height, width):
@@ -177,63 +276,15 @@ def _measure(cfg, batch, steps):
 
 
 def bench_mono_fm(batch, steps):
-    from tripled_tpu.config import ModelConfig
+    return _measure(mono_fm_cfg(), batch, steps)
 
-    cfg = ModelConfig(
-        name="mono_fm",
-        depth_num_layers=50,
-        pose_num_layers=18,
-        extractor_num_layers=50,
-        height=192,
-        width=640,
-        perception_weight=1e-3,
-        use_pallas_photometric=os.environ.get("BENCH_PALLAS", "1") == "1",
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        warp_gather_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
-            else "float32"
-        ),
-        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
-        compute_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
-            else "float32"
-        ),
-    )
-    return _measure(cfg, batch, steps)
+
+def bench_mono_fm_exact(batch, steps):
+    return _measure(mono_fm_cfg(exact=True), batch, steps)
 
 
 def bench_flagship(batch, steps):
-    from tripled_tpu.config import ModelConfig
-
-    if os.environ.get("BENCH_BF16_WARP", "1") == "1":
-        # bf16 64-lane patch tensors at 320x1024 bs8 are 1.35 GB/frame;
-        # allow the fast-gather mode (default cap 1 GB was set for f32
-        # mono_fm bs48 - BASELINE.md round-3 log)
-        os.environ.setdefault("TRIPLED_WARP_PAD64_CAP", "1500000000")
-
-    cfg = ModelConfig(
-        name="mono_fm_joint_inpaint_disentangle",
-        depth_num_layers=50,
-        pose_num_layers=18,
-        extractor_num_layers=50,
-        height=320,
-        width=1024,
-        disentangle_layers=(False, False, False, False, True),
-        depth_disentangle_type="use_half",
-        auto_res_weight=5e-3,
-        perception_weight=1e-3,
-        remat=os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
-        warp_gather_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
-            else "float32"
-        ),
-        warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
-        compute_dtype=(
-            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
-            else "float32"
-        ),
-    )
-    return _measure(cfg, batch, steps)
+    return _measure(flagship_cfg(), batch, steps)
 
 
 def bench_infer(steps=50):
@@ -256,12 +307,92 @@ def bench_infer(steps=50):
     return steps / times[len(times) // 2]
 
 
+# ------------------------------------------------------------------- e2e
+
+
+def bench_e2e(batch, epochs):
+    """Throughput through the REAL input pipeline (VERDICT r3 item 2):
+    on-disk KITTI tree (synthetic frames at native 375x1242) -> MonoDataset
+    decode/resize/aug -> BatchLoader threads -> prefetch_to_device ->
+    jitted train step. Epoch 0 is the cold-cache epoch (JPEG/PNG decode +
+    Lanczos); later epochs hit the in-RAM uint8 decode cache. Each epoch
+    window ends in a forced loss readback."""
+    import jax
+
+    from tripled_tpu.config import DataConfig, OptimConfig
+    from tripled_tpu.data.get_dataset import get_dataset
+    from tripled_tpu.data.pipeline import BatchLoader, prefetch_to_device
+    from tripled_tpu.data.synthetic import make_kitti_tree
+    from tripled_tpu.models.registry import build_model
+    from tripled_tpu.train.optim import make_optimizer
+    from tripled_tpu.train.state import create_train_state
+    from tripled_tpu.train.step import make_train_step
+
+    root = os.environ.get("BENCH_E2E_TREE", "/tmp/bench_e2e_kitti")
+    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "82"))
+    marker = os.path.join(root, "splits", "synthetic", "train_files.txt")
+    if not os.path.exists(marker) or len(open(marker).readlines()) != n_frames - 2:
+        make_kitti_tree(root, num_frames=n_frames, height=375, width=1242)
+    os.environ["TRIPLED_SPLITS_DIR"] = os.path.join(root, "splits")
+
+    cfg = mono_fm_cfg()
+    data_cfg = DataConfig(
+        name="kitti",
+        split="synthetic",
+        in_path=root,
+        height=cfg.height,
+        width=cfg.width,
+        batch_size=batch,
+        # the shipped host-pipeline fast path (CLAUDE.md host section):
+        # in-RAM uint8 decode cache + on-device ColorJitter + uint8 frames
+        # over the wire (4x smaller host->device transfer)
+        decode_cache_mb=int(os.environ.get("BENCH_E2E_CACHE_MB", "4096")),
+        device_color_aug=True,
+        ship_uint8=True,
+    )
+    dataset = get_dataset(data_cfg, training=True)
+    loader = BatchLoader(dataset, batch_size=batch, shuffle=True, seed=0)
+
+    model = build_model(cfg)
+    tx, _ = make_optimizer(OptimConfig(warmup_iters=2), steps_per_epoch=100)
+    first = next(iter(loader))
+    state = create_train_state(model, tx, jax.device_put(first), seed=0)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+    # compile outside any timed window
+    state, metrics = step(state, jax.device_put(first), rng)
+    float(metrics["loss"])
+
+    epoch_rates = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        n = 0
+        t0 = time.perf_counter()
+        for b in prefetch_to_device(iter(loader), size=2):
+            rng, r = jax.random.split(rng)
+            state, metrics = step(state, b, r)
+            n += batch
+        loss = float(metrics["loss"])  # forced readback closes the window
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        epoch_rates.append(n / dt)
+    warm = sorted(epoch_rates[1:])
+    return {
+        "imgs_per_sec": warm[len(warm) // 2] if warm else epoch_rates[0],
+        "cold_epoch_imgs_per_sec": epoch_rates[0],
+        "epoch_rates": [round(r, 2) for r in epoch_rates],
+        "steps_per_epoch": len(loader),
+        "dataset_frames": n_frames,
+    }
+
+
 def _with_oom_fallback(fn, batch, steps):
     import gc
 
+    requested = batch
     while batch >= 1:
         try:
-            return fn(batch, steps), batch
+            return fn(batch, steps), batch, requested
         except Exception as e:
             oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
             if oom and batch > 1:
@@ -274,6 +405,29 @@ def _with_oom_fallback(fn, batch, steps):
                 time.sleep(10)
                 continue
             raise
+
+
+def _row(metric, m, batch, requested, remat, exact=False, extra=None):
+    row = {
+        "metric": metric,
+        "value": round(m["imgs_per_sec"], 2),
+        "unit": "imgs/sec/chip",
+        "batch": batch,
+        "requested_batch": requested,
+        "fallback": batch != requested,
+        "remat": remat,
+        **_dtype_fields(exact),
+        "ms_per_step": round(m["ms_per_step"], 1),
+        "flops_per_step": m["flops_per_step"],
+        "tflops_per_sec": round(m["tflops_per_sec"], 2)
+        if m.get("tflops_per_sec")
+        else None,
+        "mfu": round(m["mfu"], 4) if m.get("mfu") else None,
+        "sync_method": "loss_scalar_readback",
+    }
+    if extra:
+        row.update(extra)
+    return row
 
 
 def main():
@@ -300,76 +454,83 @@ def main():
         )
         return
 
-    m, used_batch = _with_oom_fallback(bench_mono_fm, batch, steps)
+    m, used_batch, requested = _with_oom_fallback(bench_mono_fm, batch, steps)
     base_fm = _baseline("mono_fm_r50_192x640")
-    result = {
-        # stable id across rounds (ADVICE r2): batch/remat are fields below
-        "metric": "train_imgs_per_sec_mono_fm_r50_192x640",
-        "value": round(m["imgs_per_sec"], 2),
-        "unit": "imgs/sec/chip",
-        "batch": used_batch,
-        "remat": os.environ.get("BENCH_REMAT", "0") == "1",
-        "compute_dtype": (
-            "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
-            else "float32"
-        ),
-        "warp_block_gather": os.environ.get("BENCH_BLOCK_WARP", "1") == "1",
-        "warp_gather_dtype": (
-            "bfloat16" if os.environ.get("BENCH_BF16_WARP", "1") == "1"
-            else "float32"
-        ),
-        "ms_per_step": round(m["ms_per_step"], 1),
-        "flops_per_step": m["flops_per_step"],
-        "tflops_per_sec": round(m["tflops_per_sec"], 2)
-        if m["tflops_per_sec"]
-        else None,
-        "mfu": round(m["mfu"], 4) if m["mfu"] else None,
-        "sync_method": "loss_scalar_readback",
-        "vs_baseline": _vs(m["imgs_per_sec"], base_fm),
-        "baseline_source": (
-            "reference torch full train step on this host's CPU "
-            "(REF_TORCH_CPU_BASELINE.json; reference publishes no GPU "
-            "numbers, no GPU in environment)"
-            if base_fm
-            else "unmeasured (run tripled_tpu.cli.bench_ref_torch)"
-        ),
-        "also": [],
-    }
+    result = _row(
+        # stable id across rounds (ADVICE r2): batch/remat are fields
+        "train_imgs_per_sec_mono_fm_r50_192x640",
+        m,
+        used_batch,
+        requested,
+        _env1("BENCH_REMAT", "0"),
+        extra={
+            "vs_baseline": _vs(m["imgs_per_sec"], base_fm),
+            "baseline_source": (
+                "reference torch full train step on this host's CPU "
+                "(REF_TORCH_CPU_BASELINE.json; reference publishes no GPU "
+                "numbers, no GPU in environment)"
+                if base_fm
+                else "unmeasured (run tripled_tpu.cli.bench_ref_torch)"
+            ),
+            "also": [],
+        },
+    )
 
-    if os.environ.get("BENCH_SKIP_FLAGSHIP", "0") != "1":
-        default_fb = "8" if os.environ.get("BENCH_BF16", "1") == "1" else "4"
-        fm, fbatch = _with_oom_fallback(
+    if not _env1("BENCH_SKIP_FLAGSHIP", "0"):
+        default_fb = "8" if _env1("BENCH_BF16") else "4"
+        fm, fbatch, freq = _with_oom_fallback(
             bench_flagship,
             int(os.environ.get("BENCH_FLAGSHIP_BATCH", default_fb)),
             steps,
         )
         base_fs = _baseline("tripleD_r50_320x1024")
         result["also"].append(
+            _row(
+                "train_imgs_per_sec_tripleD_r50_320x1024",
+                fm,
+                fbatch,
+                freq,
+                _env1("BENCH_FLAGSHIP_REMAT"),
+                extra={"vs_baseline": _vs(fm["imgs_per_sec"], base_fs)},
+            )
+        )
+
+    if _env1("BENCH_EXACT"):
+        eb = int(os.environ.get("BENCH_EXACT_BATCH", "8"))
+        em, ebatch, ereq = _with_oom_fallback(bench_mono_fm_exact, eb, steps)
+        result["also"].append(
+            _row(
+                "train_imgs_per_sec_mono_fm_r50_192x640_exact",
+                em,
+                ebatch,
+                ereq,
+                _env1("BENCH_REMAT", "0"),
+                exact=True,
+                extra={"vs_baseline": _vs(em["imgs_per_sec"], base_fm)},
+            )
+        )
+
+    if _env1("BENCH_E2E"):
+        epochs = int(os.environ.get("BENCH_E2E_EPOCHS", "4"))
+        e2e = bench_e2e(batch, epochs)
+        result["also"].append(
             {
-                "metric": "train_imgs_per_sec_tripleD_r50_320x1024",
-                "value": round(fm["imgs_per_sec"], 2),
+                "metric": "train_imgs_per_sec_mono_fm_r50_192x640_e2e",
+                "value": round(e2e["imgs_per_sec"], 2),
                 "unit": "imgs/sec/chip",
-                "batch": fbatch,
-                "remat": os.environ.get("BENCH_FLAGSHIP_REMAT", "1") == "1",
-                "compute_dtype": (
-                    "bfloat16" if os.environ.get("BENCH_BF16", "1") == "1"
-                    else "float32"
+                "batch": batch,
+                "cold_epoch_imgs_per_sec": round(
+                    e2e["cold_epoch_imgs_per_sec"], 2
                 ),
-                "warp_block_gather": os.environ.get("BENCH_BLOCK_WARP", "1")
-                == "1",
-                "warp_gather_dtype": (
-                    "bfloat16"
-                    if os.environ.get("BENCH_BF16_WARP", "1") == "1"
-                    else "float32"
+                "epoch_rates": e2e["epoch_rates"],
+                "steps_per_epoch": e2e["steps_per_epoch"],
+                "dataset_frames": e2e["dataset_frames"],
+                **_dtype_fields(),
+                "pipeline": (
+                    "on-disk 375x1242 tree -> decode cache -> BatchLoader "
+                    "threads -> uint8 transfer -> device jitter -> step"
                 ),
-                "ms_per_step": round(fm["ms_per_step"], 1),
-                "flops_per_step": fm["flops_per_step"],
-                "tflops_per_sec": round(fm["tflops_per_sec"], 2)
-                if fm["tflops_per_sec"]
-                else None,
-                "mfu": round(fm["mfu"], 4) if fm["mfu"] else None,
                 "sync_method": "loss_scalar_readback",
-                "vs_baseline": _vs(fm["imgs_per_sec"], base_fs),
             }
         )
 

@@ -17,30 +17,11 @@ import bench  # noqa: E402
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "mono_fm"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    from tripled_tpu.config import ModelConfig
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if which == "mono_fm" else 8)
 
-    if which == "mono_fm":
-        cfg = ModelConfig(
-            name="mono_fm",
-            depth_num_layers=50,
-            pose_num_layers=18,
-            extractor_num_layers=50,
-            height=192,
-            width=640,
-            perception_weight=1e-3,
-            remat=os.environ.get("BENCH_REMAT", "1") == "1",
-            compute_dtype=(
-                "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1" else "float32"
-            ),
-            warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
-            warp_gather_dtype=(
-                "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
-                else "float32"
-            ),
-        )
-    else:
-        raise SystemExit("only mono_fm for now")
+    # SAME config builders as bench.py so the dump matches the bench
+    # operating point (env flags behave exactly as in bench.py)
+    cfg = bench.mono_fm_cfg() if which == "mono_fm" else bench.flagship_cfg()
 
     state, step, inputs = bench._build(cfg, batch)
     compiled = step.lower(state, inputs, jax.random.PRNGKey(0)).compile()

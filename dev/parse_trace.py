@@ -15,23 +15,24 @@ from collections import defaultdict
 
 def hlo_op_names(path):
     """fusion.N -> "op_name | shape" from an HLO text dump. Ops without
-    metadata still get their output shape so nothing stays opaque."""
+    metadata still get their output shape so nothing stays opaque.
+    Handles tuple-shaped outputs (multi-output fusions), which the earlier
+    single-token shape regex silently skipped."""
     out = {}
-    pat_meta = re.compile(
-        r"%(\S+?) = (\S+?) (?:fusion|[a-z-]+)\(.*?metadata={op_name=\"([^\"]*)\""
-    )
-    pat_shape = re.compile(r"%(\S+?) = (\S+?) [a-z-]*\(")
+    pat_line = re.compile(r"^\s*(?:ROOT )?%(\S+) = (.*)$")
+    pat_meta = re.compile(r"metadata={op_name=\"([^\"]*)\"")
     with open(path) as f:
         for line in f:
-            m = pat_meta.search(line)
-            if m:
-                name, shape, op = m.groups()
-                out.setdefault(name, f"{op} | {shape.split('{')[0]}")
+            m = pat_line.match(line)
+            if not m:
                 continue
-            m = pat_shape.search(line)
-            if m:
-                name, shape = m.groups()
-                out.setdefault(name, f"? | {shape.split('{')[0]}")
+            name, rest = m.groups()
+            mm = pat_meta.search(rest)
+            op = mm.group(1) if mm else "?"
+            # shape = everything before the opcode's '(' with layout
+            # annotations stripped; tolerate tuple shapes with nested parens
+            shape = re.sub(r"{[^{}]*}", "", rest.split("(%")[0])[:80]
+            out.setdefault(name, f"{op} | {shape}")
     return out
 
 
@@ -103,7 +104,10 @@ def main():
         cats = defaultdict(float)
         for name, ms in agg.items():
             op = names.get(name, "")
-            if "grid_sample" in op or "take_along_axis" in op or "/gather" in op:
+            if name.startswith("TripleDNet._compute_losses"):
+                # Mosaic (Pallas) kernels show up under their op_name
+                cats["pallas photometric"] += ms
+            elif "grid_sample" in op or "take_along_axis" in op or "/gather" in op:
                 cats["warp gather"] += ms
             elif "conv" in op.lower() or "Conv" in op:
                 cats["conv"] += ms

@@ -22,7 +22,7 @@ import numpy as np  # noqa: E402
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "mono_fm"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (48 if which == "mono_fm" else 8)
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if which == "mono_fm" else 8)
 
     from tripled_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -31,47 +31,10 @@ def main():
     import jax
     import bench
 
-    if which == "mono_fm":
-        cfg_fn = bench.bench_mono_fm  # noqa: F841  (we rebuild by hand below)
-        from tripled_tpu.config import ModelConfig
-
-        cfg = ModelConfig(
-            name="mono_fm",
-            depth_num_layers=50,
-            pose_num_layers=18,
-            extractor_num_layers=50,
-            height=192,
-            width=640,
-            perception_weight=1e-3,
-            remat=os.environ.get("BENCH_REMAT", "1") == "1",
-            compute_dtype=(
-                "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1" else "float32"
-            ),
-            warp_block_gather=os.environ.get("BENCH_BLOCK_WARP", "0") == "1",
-            warp_gather_dtype=(
-                "bfloat16" if os.environ.get("BENCH_BF16_WARP", "0") == "1"
-                else "float32"
-            ),
-        )
-    else:
-        from tripled_tpu.config import ModelConfig
-
-        cfg = ModelConfig(
-            name="mono_fm_joint_inpaint_disentangle",
-            depth_num_layers=50,
-            pose_num_layers=18,
-            extractor_num_layers=50,
-            height=320,
-            width=1024,
-            disentangle_layers=(False, False, False, False, True),
-            depth_disentangle_type="use_half",
-            auto_res_weight=5e-3,
-            perception_weight=1e-3,
-            remat=True,
-            compute_dtype=(
-                "bfloat16" if os.environ.get("BENCH_BF16", "0") == "1" else "float32"
-            ),
-        )
+    # SAME config builders as bench.py (VERDICT r3 item 1: published
+    # profiles must match the bench operating point). Env flags
+    # (BENCH_BF16/BENCH_BLOCK_WARP/...) behave exactly as in bench.py.
+    cfg = bench.mono_fm_cfg() if which == "mono_fm" else bench.flagship_cfg()
 
     state, step, inputs = bench._build(cfg, batch)
     rng = jax.random.PRNGKey(0)
