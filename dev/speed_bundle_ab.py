@@ -1,0 +1,151 @@
+"""300-step learning-dynamics + synthetic-Eigen A/B of the bench speed
+bundle (block warp + bf16 gather texels + bf16 compute) vs the bit-exact
+ModelConfig defaults (f32, exact warp) — VERDICT r3 item 4b. Same init,
+same data stream, the real mono_fm bench geometry (R50 192x640).
+
+Writes the `speed_bundle` section of PARITY_TRAIN.json.
+
+Usage: python dev/speed_bundle_ab.py [steps=300] [batch=8]
+Needs the TPU (the bundle is TPU-only behavior; CPU would also take hours).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from tripled_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import dataclasses  # noqa: E402
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tripled_tpu.cli.parity_compare import (  # noqa: E402
+    build_fixture,
+    gen_batches,
+    make_datasets,
+)
+from tripled_tpu.config import ModelConfig, OptimConfig  # noqa: E402
+from tripled_tpu.eval.depth_metrics import (  # noqa: E402
+    METRIC_NAMES,
+    evaluate_depth_predictions,
+)
+from tripled_tpu.models.registry import build_model  # noqa: E402
+from tripled_tpu.train.optim import make_optimizer  # noqa: E402
+from tripled_tpu.train.state import create_train_state  # noqa: E402
+from tripled_tpu.train.step import make_train_step  # noqa: E402
+
+H, W = 192, 640
+
+
+def run(arm, batches, val_ds, steps, n_unique):
+    cfg = ModelConfig(
+        name="mono_fm",
+        depth_num_layers=50,
+        pose_num_layers=18,
+        extractor_num_layers=50,
+        height=H,
+        width=W,
+        perception_weight=1e-3,
+        depth_dropout_rate=0.0,  # isolate numerics from dropout RNG
+    )
+    if arm == "speed":
+        cfg = dataclasses.replace(
+            cfg,
+            compute_dtype="bfloat16",
+            warp_block_gather=True,
+            warp_gather_dtype="bfloat16",
+        )
+    model = build_model(cfg)
+    tx, _ = make_optimizer(
+        OptimConfig(warmup_iters=10), steps_per_epoch=n_unique
+    )
+    state = create_train_state(model, tx, jax.device_put(batches[0]), seed=0)
+    step_fn = make_train_step(model, tx, donate=False)
+
+    @jax.jit
+    def predict(variables, imgs):
+        # eval mode returns the disp pyramid; [0] is full resolution
+        return model.apply(
+            variables, {"color_aug": imgs, "color": imgs}, train=False
+        )[0]
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step_fn(
+            state, jax.device_put(batches[i % n_unique]), jax.random.PRNGKey(i)
+        )
+        losses.append(float(m["loss"]))
+    dt = time.perf_counter() - t0
+
+    disps, val_disps = [], []
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for i in range(len(val_ds)):
+        s = val_ds.sample(i, np.random.RandomState(i))
+        d = np.asarray(predict(variables, s["color"][None]))[0, :, :, 0]
+        disps.append(d)
+        val_disps.append(d)
+    errs, med, std = evaluate_depth_predictions(
+        disps, [val_ds.gt_depths[i] for i in range(len(val_ds))]
+    )
+    eigen = dict(zip(METRIC_NAMES, [float(x) for x in errs]))
+    return losses, eigen, np.asarray(val_disps), dt
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu", "needs the TPU"
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_unique = 30
+
+    root = build_fixture("/tmp/speed_bundle_kitti", H, W, num_frames=40)
+    train_ds, val_ds = make_datasets(root, H, W)
+    batches = gen_batches(train_ds, batch, n_unique, seed=7)
+
+    le, ee, de, te = run("exact", batches, val_ds, steps, n_unique)
+    ls, es, ds, ts = run("speed", batches, val_ds, steps, n_unique)
+
+    rel = [abs(a - b) / max(abs(a), 1e-12) for a, b in zip(le, ls)]
+    corr = float(np.corrcoef(de.ravel(), ds.ravel())[0, 1])
+    eigen_delta = {
+        k: (abs(es[k] - ee[k]) / max(abs(ee[k]), 1e-12)) for k in ee
+    }
+    out = {
+        "what": (
+            "bench speed bundle (block warp + bf16 texels + bf16 compute) "
+            "vs bit-exact ModelConfig defaults: mono_fm R50 192x640 "
+            f"bs{batch}, {steps} steps, same init/data (synthetic KITTI), "
+            "Eigen protocol on the synthetic val split"
+        ),
+        "steps": steps,
+        "batch": batch,
+        "loss_exact_first5": le[:5],
+        "loss_speed_first5": ls[:5],
+        "loss_exact_last5": le[-5:],
+        "loss_speed_last5": ls[-5:],
+        "mean_rel_loss_diff": float(np.mean(rel)),
+        "max_rel_loss_diff": float(np.max(rel)),
+        "final_rel_loss_diff": rel[-1],
+        "eigen_exact": ee,
+        "eigen_speed": es,
+        "eigen_rel_delta": eigen_delta,
+        "final_disp_corr": corr,
+        "sec_exact": round(te, 1),
+        "sec_speed": round(ts, 1),
+    }
+    print(json.dumps(out, indent=1))
+    with open("/root/repo/PARITY_TRAIN.json") as f:
+        doc = json.load(f)
+    doc["speed_bundle"] = out
+    with open("/root/repo/PARITY_TRAIN.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print("merged into PARITY_TRAIN.json: speed_bundle")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,3 +70,83 @@ def test_supports_shape_gate():
     assert not supports_shape(320, 1024)
     assert not supports_shape(96, 192)
     assert not supports_shape(192, 416)
+
+
+def test_static_frame_tiebreak(rng_np):
+    """PARITY.md "Pallas automask tie-break" re-validation (VERDICT r3
+    item 4a): the kernel drops the reference's 1e-5 gaussian noise on
+    identity losses (`mono/model/mono_fm/net.py:166-170`) and must resolve
+    EXACT ties to the identity candidates — net.py lists identity
+    candidates first and `_kernel` takes the lowest index on ties. Exact
+    warped-vs-identity ties are the genuinely-static-frame case automask
+    exists for: selecting identity automasks the pixel (no gradient to
+    depth/pose), which is what the reference's noise produces in
+    expectation half the time and what monodepth2 automasking intends."""
+    B, H, W, C = 1, 16, 32, 3
+    target = jnp.asarray(rng_np.rand(B, H, W, C), jnp.float32)
+    src = jnp.asarray(rng_np.rand(B, H, W, C), jnp.float32)
+    # candidate order as in net.py: [identity..., warped...]; a static
+    # frame makes the warped source EXACTLY equal the identity source
+    preds = jnp.stack([src, src], axis=1)  # k=0 identity, k=1 warped
+    out, idx = fused_min_reprojection(target, preds, 8, True)
+    assert (np.asarray(idx) == 0).all()  # every exact tie -> identity
+
+    # gradient consequence: the automasked (identity-selected) pixels send
+    # NO gradient to the warped candidate — depth/pose receive nothing
+    def warped_loss(p_warped):
+        out, _ = fused_min_reprojection(
+            target, jnp.stack([src, p_warped], 1), 8, True
+        )
+        return out.sum()
+
+    g = jax.grad(warped_loss)(src)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    # the XLA noisy path on the same static tie selects identity ~half the
+    # pixels per draw (noise is zero-mean); the MIN VALUE is identical to
+    # the kernel's either way — the deviation is gradient routing only
+    from tripled_tpu.ops.losses import (
+        min_reprojection_with_automask,
+        reprojection_loss,
+    )
+
+    pl_ident = [reprojection_loss(src, target)]
+    pl_warp = [reprojection_loss(src, target)]
+    noisy = min_reprojection_with_automask(
+        pl_warp, pl_ident, jax.random.PRNGKey(0)
+    )
+    # bound = the injected noise itself (zero-mean 1e-5 gaussian)
+    np.testing.assert_allclose(
+        np.asarray(noisy)[..., 0], np.asarray(out), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_static_scene_automask_agreement(rng_np):
+    """On a true static scene (source == target, warp blurs), identity
+    strictly beats warped: the fused kernel and the noisy XLA path agree
+    on automask selection at every pixel (no ties involved)."""
+    B, H, W, C = 1, 16, 32, 3
+    target = jnp.asarray(rng_np.rand(B, H, W, C), jnp.float32)
+    # static scene: identity == target (loss ~ 0); warped = blurred target
+    blurred = (
+        target
+        + jnp.roll(target, 1, axis=2)
+        + jnp.roll(target, -1, axis=2)
+    ) / 3.0
+    preds = jnp.stack([target, blurred], axis=1)
+    out, idx = fused_min_reprojection(target, preds, 8, True)
+    assert (np.asarray(idx) == 0).all()
+
+    from tripled_tpu.ops.losses import (
+        min_reprojection_with_automask,
+        reprojection_loss,
+    )
+
+    noisy = min_reprojection_with_automask(
+        [reprojection_loss(blurred, target)],
+        [reprojection_loss(target, target)],
+        jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(
+        np.asarray(noisy)[..., 0], np.asarray(out), rtol=1e-5, atol=1e-4
+    )

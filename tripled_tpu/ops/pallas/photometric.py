@@ -32,14 +32,18 @@ Measured on a v5e chip (bs12 @192×640, K=4, f32, random data):
   forward: 2.19 ms Pallas vs 2.87 ms XLA (1.31×)
   backward alone: 6.98 ms Pallas vs 7.22 ms recompute-VJP
   full grad: 8.33 ms Pallas fwd+bwd vs 7.93 ms pure-XLA fwd+bwd
-Net: the hand-written backward beats the r1 recompute-VJP but the
-Pallas-everything path still trails XLA end-to-end by ~5% on random data —
-the backward is VPU-compute-bound (K·C unrolled stat recompute + 4 boxT
-maps per candidate-channel) while XLA's fused reduce-window backward is
-already near that cost without the planar-layout transposes. Recorded as a
-negative result (BASELINE.md); `use_pallas_photometric` stays False. The
-kernel gates per-tile on candidate activity, so real automasked training
-data (large static regions → 1-2 active candidates/tile) narrows the gap.
+The r1/r2 "loses ~5% end-to-end" verdict was broken-clock fiction: the
+first honest-clock A/B (round 3, BASELINE.md round-3 log) measured
+36.16 imgs/s fused vs 35.49 XLA (+1.9%) on the mono_fm bench config, so
+`use_pallas_photometric` defaults ON for TPU backends on shapes
+`supports_shape` accepts (W % 128 == 0 and the scoped-VMEM slab ≤ 14 MB);
+everything else falls back to the XLA path in net.py. The kernel's
+deterministic-identity tie-break (vs the reference's 1e-5 noise) is
+re-validated on static frames in tests/test_pallas_photometric.py and
+PARITY_TRAIN.json `pallas_tiebreak` (round 4; PARITY.md "Known
+intentional deviations"). The kernel gates per-tile on candidate
+activity, so real automasked training data (large static regions → 1-2
+active candidates/tile) widens the win further.
 """
 
 from __future__ import annotations
