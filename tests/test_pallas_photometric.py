@@ -64,10 +64,9 @@ def test_supports_shape_gate():
     from tripled_tpu.ops.pallas.photometric import supports_shape
 
     assert supports_shape(192, 640)
-    # 320x1024 exceeds the 16 MB scoped-VMEM limit (the compiler stages an
-    # 18.1 MB per-batch-item candidate slab per grid step; observed on
-    # device round 3) — must fall back to the XLA path
-    assert not supports_shape(320, 1024)
+    # r4 pre-tiled windows removed the r3 scoped-VMEM wall (an 18.1 MB
+    # staged slab at 320x1024): the flagship resolution is now supported
+    assert supports_shape(320, 1024)
     assert not supports_shape(96, 192)
     assert not supports_shape(192, 416)
 
@@ -150,3 +149,32 @@ def test_static_scene_automask_agreement(rng_np):
     np.testing.assert_allclose(
         np.asarray(noisy)[..., 0], np.asarray(out), rtol=1e-5, atol=1e-4
     )
+
+
+def test_grad_pruning_matches_full(rng_np):
+    """grad_ks + need_target_grad=False (the net.py configuration: identity
+    candidates and the target are raw input frames whose cotangents are
+    discarded) must reproduce the full backward exactly on the kept
+    candidates and return zeros elsewhere."""
+    B, K, H, W, C = 1, 4, 16, 32, 3
+    target = jnp.asarray(rng_np.rand(B, H, W, C), jnp.float32)
+    preds = jnp.asarray(rng_np.rand(B, K, H, W, C), jnp.float32)
+
+    def loss(t, p, grad_ks, need_t):
+        out, _ = fused_min_reprojection(t, p, 8, True, grad_ks, need_t)
+        return (out * jnp.cos(out)).sum()  # non-trivial cotangent
+
+    gt_full, gp_full = jax.grad(loss, argnums=(0, 1))(
+        target, preds, None, True
+    )
+    gt_p, gp_p = jax.grad(loss, argnums=(0, 1))(
+        target, preds, (2, 3), False
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_p[:, 2:]), np.asarray(gp_full[:, 2:]), rtol=1e-5,
+        atol=1e-7,
+    )
+    np.testing.assert_array_equal(np.asarray(gp_p[:, :2]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gt_p), 0.0)
+    # and the kept-candidate gradients are not trivially zero
+    assert np.abs(np.asarray(gp_full[:, 2:])).max() > 0

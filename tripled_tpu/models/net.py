@@ -656,11 +656,20 @@ class TripleDNet(nn.Module):
                         inputs["color"][:, i]
                         for i in range(1, len(c.frame_ids))
                     ]
+                n_id = len(cand_imgs)
                 cand_imgs += warped
                 from tripled_tpu.ops.pallas import fused_min_reprojection
 
+                # gradient pruning: identity candidates and the target are
+                # raw input frames — their cotangents flow nowhere, so the
+                # backward kernel only computes dp for the warped ones
                 min_rec, _ = fused_min_reprojection(
-                    target, jnp.stack(cand_imgs, axis=1)
+                    target,
+                    jnp.stack(cand_imgs, axis=1),
+                    16,
+                    False,
+                    tuple(range(n_id, len(cand_imgs))),
+                    False,
                 )
             else:
                 preds = [reprojection_loss(p, target) for p in warped]
