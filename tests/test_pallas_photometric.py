@@ -64,9 +64,12 @@ def test_supports_shape_gate():
     from tripled_tpu.ops.pallas.photometric import supports_shape
 
     assert supports_shape(192, 640)
-    # r4 pre-tiled windows removed the r3 scoped-VMEM wall (an 18.1 MB
-    # staged slab at 320x1024): the flagship resolution is now supported
-    assert supports_shape(320, 1024)
+    # Mosaic stages one batch item's full candidate slab for the
+    # dynamically-offset Element row windows (measured 19.34 MB f32 at
+    # 320x1024 vs the 16 MB chip VMEM): the flagship resolution fits only
+    # with bf16 slabs, which net.py uses under bf16 compute
+    assert not supports_shape(320, 1024, 4)
+    assert supports_shape(320, 1024, 2)
     assert not supports_shape(96, 192)
     assert not supports_shape(192, 416)
 
@@ -178,3 +181,45 @@ def test_grad_pruning_matches_full(rng_np):
     np.testing.assert_array_equal(np.asarray(gt_p), 0.0)
     # and the kept-candidate gradients are not trivially zero
     assert np.abs(np.asarray(gp_full[:, 2:])).max() > 0
+
+
+def test_bf16_slabs_match_f32(rng_np):
+    """bf16 candidate slabs (the flagship 320x1024 configuration: inputs,
+    g, and idx all ship as bf16; the kernel upcasts per tile) must agree
+    with the f32 path to bf16 input precision, forward and backward."""
+    B, K, H, W, C = 1, 4, 24, 32, 3
+    target = jnp.asarray(rng_np.rand(B, H, W, C), jnp.float32)
+    preds = jnp.asarray(rng_np.rand(B, K, H, W, C), jnp.float32)
+    t16 = target.astype(jnp.bfloat16)
+    p16 = preds.astype(jnp.bfloat16)
+
+    out32, _ = fused_min_reprojection(target, preds, 8, True)
+    out16, _ = fused_min_reprojection(t16, p16, 8, True)
+    assert out16.dtype == jnp.float32  # loss map stays f32
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), atol=2e-2
+    )
+
+    # backward: share ONE argmin (bf16-quantized inputs flip near-tie
+    # argmins, which re-routes those pixels' gradients — input effect, not
+    # kernel error), and feed the f32 reference the SAME bf16 texels
+    from tripled_tpu.ops.pallas.photometric import (
+        _backward_tiled,
+        _bwd_autodiff,
+    )
+
+    g = (out16 * jnp.cos(out16) + 1.0).astype(jnp.float32)
+    _, idx = fused_min_reprojection(t16, p16, 8, True)
+    gp16 = _backward_tiled(t16, p16, g, idx, True, (2, 3), False)[1]
+    gp32 = _bwd_autodiff(
+        t16.astype(jnp.float32), p16.astype(jnp.float32), idx, g
+    )[1]
+    assert gp16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gp16[:, 2:], np.float32),
+        np.asarray(gp32[:, 2:]),
+        atol=5e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gp16[:, :2], np.float32), 0.0
+    )

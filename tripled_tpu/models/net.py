@@ -642,10 +642,21 @@ class TripleDNet(nn.Module):
             warped = self._warp_colors(inputs, outputs, disp)
             from tripled_tpu.ops.pallas import photometric as _pp
 
+            # kernel slab dtype: f32 whenever the f32 slabs fit Mosaic's
+            # scoped-VMEM staging (the r3-validated configuration); bf16
+            # slabs otherwise — that's what unlocks the flagship 320x1024
+            # (supports_shape note 2), and only under bf16 compute where
+            # the warped texels are already bf16-sourced
+            _pk_f32 = _pp.supports_shape(c.height, c.width, 4)
+            _pk_bf16 = (
+                not _pk_f32
+                and c.compute_dtype == "bfloat16"
+                and _pp.supports_shape(c.height, c.width, 2)
+            )
             if (
                 c.use_pallas_photometric
                 and jax.default_backend() == "tpu"
-                and _pp.supports_shape(c.height, c.width)
+                and (_pk_f32 or _pk_bf16)
             ):
                 # fused Pallas kernel over all candidate images; exact ties
                 # resolve to the identity candidates (listed first), which
@@ -660,12 +671,17 @@ class TripleDNet(nn.Module):
                 cand_imgs += warped
                 from tripled_tpu.ops.pallas import fused_min_reprojection
 
+                preds_k = jnp.stack(cand_imgs, axis=1)
+                tgt_k = target
+                if _pk_bf16:
+                    preds_k = preds_k.astype(jnp.bfloat16)
+                    tgt_k = target.astype(jnp.bfloat16)
                 # gradient pruning: identity candidates and the target are
                 # raw input frames — their cotangents flow nowhere, so the
                 # backward kernel only computes dp for the warped ones
                 min_rec, _ = fused_min_reprojection(
-                    target,
-                    jnp.stack(cand_imgs, axis=1),
+                    tgt_k,
+                    preds_k,
                     16,
                     False,
                     tuple(range(n_id, len(cand_imgs))),

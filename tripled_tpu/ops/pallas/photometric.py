@@ -16,21 +16,25 @@ accumulations in registers/VMEM, and writes only the (H, W) min map and an
 int32 argmin.
 
 Layout notes (TPU): planar channel layout (C, rows, W+2) so x-shifts are
-plain lane slices. SSIM tiles need a row halo, which BlockSpec index maps
-cannot express (blocks are non-overlapping), so the overlapping row windows
-are PRE-TILED on the XLA side into a (B, n_tiles, ..., WIN, WP) array and
-each grid step gets its window as an ordinary VMEM block. Round 1-3 used
-whole-array HBM refs + manual `make_async_copy` windows instead; that
-design hit a Mosaic scoped-VMEM wall — the compiler staged one batch item's
-FULL (K, C, total_rows, WP) slab per grid step, 18.1 MB at 320×1024 vs the
-16 MB limit — which kept the flagship on the XLA path (VERDICT r3 item 5).
-Pre-tiling bounds per-step VMEM by the window block (~1.3 MB at 320×1024),
-costs only a WIN/TH ≈ 1.4× transient duplication of the inputs, and lets
-the slabs stay bf16 in HBM (the kernel upcasts per tile) instead of paying
-an f32 conversion pass up front.
+plain lane slices. SSIM tiles need a row halo, which Blocked BlockSpec
+index maps cannot express (blocks are non-overlapping) — the overlapping
+row windows are delivered with `pl.Element` block dims, whose index maps
+take ELEMENT start offsets, so each grid step DMAs its (WIN, WP) window
+straight out of the planar HBM array with zero duplication (verified
+exact on-chip: dev/element_probe.py). Two rejected designs: rounds 1-3
+used whole-array HBM refs + manual `make_async_copy` windows, which hit a
+Mosaic scoped-VMEM wall (the compiler staged one batch item's FULL
+(K, C, total_rows, WP) slab per grid step — 18.1 MB at 320×1024 vs the
+16 MB limit — keeping the flagship on the XLA path, VERDICT r3 item 5);
+early round 4 PRE-TILED the windows on the XLA side into
+(B, n_tiles, ..., WIN, WP) arrays, which fixed the VMEM wall but cost a
+~6 ms materialization pass at the bench shape (slower than XLA end to
+end). Element windows keep the r4 per-step VMEM bound (~1.3 MB at
+320×1024) with no XLA-side copy, and the slabs stay bf16 in HBM (the
+kernel upcasts per tile).
 
 Backward: hand-derived fused Pallas kernel (`_backward_tiled`, r2; r4
-pre-tiled + gradient pruning). The SSIM gradient at every window member
+Element windows + gradient pruning). The SSIM gradient at every window member
 decomposes into three per-output-pixel coefficient maps (see its
 docstring), so one VMEM pass recomputes the candidate stats, gates by
 argmin, applies a 3×3 transpose-window-sum, and adds the local robust-L1
@@ -83,7 +87,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def supports_shape(height: int, width: int) -> bool:
+def supports_shape(height: int, width: int, itemsize: int = 4) -> bool:
     """Mosaic constraints, verified on-device:
 
     1. Lane alignment: the kernel slices W lanes out of its 128-padded
@@ -91,12 +95,15 @@ def supports_shape(height: int, width: int) -> bool:
        (a W=192 config fails to compile with 'Slice shape along dimension
        2 must be aligned to tiling (128)'). Training widths 640/1024
        qualify.
-    2. Per-step VMEM: with pre-tiled windows (r4) the forward stages only
-       the (K, C, WIN, WP) window block per grid step — ~0.9 MB at
-       192×640, ~1.3 MB at 320×1024 — so the r3 scoped-VMEM wall
-       (18.1 MB staged slab at 320×1024) is gone and the flagship
-       resolution is supported. Keep a conservative 12 MB double-buffered
-       bound anyway for pathological shapes.
+    2. Scoped VMEM: Mosaic stages one batch item's FULL trailing extent
+       for an operand whose row window has a dynamic Element offset — the
+       (K, C, total_rows, WP) candidate slab, NOT just the (WIN, WP)
+       window (measured: f32 320×1024 fails AOT with a 19.34 MB scoped
+       allocation vs the 16 MB chip VMEM; f32 192×640's 8 MB slab
+       compiles and runs). The gate therefore budgets the staged slabs at
+       the INPUT dtype: f32 fits up to the mono_fm shape, the flagship
+       320×1024 fits only with bf16 slabs (itemsize=2; net.py casts the
+       kernel inputs when compute_dtype is bfloat16).
     """
     if width % 128 != 0:
         return False
@@ -105,10 +112,19 @@ def supports_shape(height: int, width: int) -> bool:
         height,
     )
     win = _round_up(th + 2, 8)
+    # the backward's row extent is the larger of the two kernels'
+    s = 16 if height >= 16 else th
+    n_tiles = -(-(height + 2) // s)
+    total_rows = (n_tiles - 1) * s + _round_up(s + 4, 8)
     wp = _round_up(width + 2, 128)
+    wg = _round_up(width, 128)
     k, c = 4, 3  # worst-case candidate count (2 warped + 2 identity), RGB
-    per_step = (k + 1) * c * win * wp * 4
-    return 2 * per_step <= 12 * 2**20
+    staged = (k + 1) * c * total_rows * wp * itemsize  # preds + target slabs
+    # the backward's g/idx slabs follow the input dtype (idx values 0..K
+    # are exact in bf16)
+    staged += 2 * total_rows * wg * itemsize
+    # ~1.5 MB observed overhead (out tiles, scratch, double buffers)
+    return staged + int(1.5 * 2**20) <= 15 * 2**20
 
 
 def _kernel(tgt_ref, preds_ref, out_ref, idx_ref, *, K, TH, W, C):
@@ -171,22 +187,21 @@ def _pad_hw(x):
     return jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
 
 
-def _window_tiles(x, starts, rows):
-    """(..., R, WP) -> (..., n_tiles, rows, WP) overlapping row windows.
-    XLA fuses the n slices into one read pass; the WIN/stride overlap is
-    the only duplication."""
-    return jnp.stack(
-        [
-            jax.lax.slice_in_dim(x, s, s + rows, axis=-2)
-            for s in starts
-        ],
-        axis=-3,
-    )
+def _win_spec(shape, win, start_map):
+    """All-Element BlockSpec for an overlapping row window: `shape` is the
+    block shape with the window dim already set to `win`; `start_map`
+    returns ELEMENT start offsets (Mosaic requires every dim be Element
+    once one is)."""
+    from jax.experimental import pallas as pl
+
+    return pl.BlockSpec(tuple(pl.Element(s) for s in shape), start_map)
 
 
 def _forward_tiled(target, preds, row_tile, interpret):
-    """Row-tiled forward with pre-tiled overlapping windows (see module
-    docstring). Inputs keep their dtype in HBM; the kernel upcasts."""
+    """Row-tiled forward; each grid step reads its overlapping (WIN, WP)
+    row window straight from the planar HBM array via Element-indexed
+    BlockSpecs (see module docstring). Inputs keep their dtype in HBM;
+    the kernel upcasts."""
     from jax.experimental import pallas as pl
 
     B, K, H, W, C = preds.shape
@@ -210,15 +225,11 @@ def _forward_tiled(target, preds, row_tile, interpret):
         .reshape(B, K, total_rows, WP, C)
         .transpose(0, 1, 4, 2, 3)
     )
-    starts = [t * TH for t in range(n_tiles)]
-    # (B, n_tiles, C, WIN, WP) / (B, n_tiles, K, C, WIN, WP)
-    tgt_t = jnp.moveaxis(_window_tiles(tgt_p, starts, WIN), -3, 1)
-    preds_t = jnp.moveaxis(_window_tiles(preds_p, starts, WIN), -3, 1)
 
     def kernel(tgt_ref, preds_ref, out_ref, idx_ref):
         _kernel(
-            tgt_ref[0, 0],
-            preds_ref[0, 0],
+            tgt_ref[0],
+            preds_ref[0],
             out_ref.at[0],
             idx_ref.at[0],
             K=K,
@@ -231,9 +242,9 @@ def _forward_tiled(target, preds, row_tile, interpret):
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, C, WIN, WP), lambda b, t: (b, t, 0, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, K, C, WIN, WP), lambda b, t: (b, t, 0, 0, 0, 0)
+            _win_spec((1, C, WIN, WP), WIN, lambda b, t: (b, 0, t * TH, 0)),
+            _win_spec(
+                (1, K, C, WIN, WP), WIN, lambda b, t: (b, 0, 0, t * TH, 0)
             ),
         ],
         out_specs=[
@@ -245,13 +256,13 @@ def _forward_tiled(target, preds, row_tile, interpret):
             jax.ShapeDtypeStruct((B, H, W), jnp.int32),
         ],
         interpret=interpret,
-    )(tgt_t, preds_t)
+    )(tgt_p, preds_p)
     return out, idx
 
 
 def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
                     need_target_grad):
-    """Hand-derived fused backward kernel (VERDICT r1 item 3; r4 pre-tiled
+    """Hand-derived fused backward kernel (VERDICT r1 item 3; r4 Element
     windows + gradient pruning).
 
     Math: per output pixel o, the active (argmin) candidate's loss is
@@ -275,7 +286,7 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
         dx_u = boxT(A) + y_u*boxT(B) + x_u*boxT(G) + L1_u
         dy_u = Σ_k boxT(A2) + x_u*boxT(B) + y_u*boxT(G) - L1_u
 
-    One grid step (batch, row-tile) reads its pre-tiled input windows,
+    One grid step (batch, row-tile) reads its Element-indexed windows,
     recomputes the stats for the candidates in `grad_ks` (all K when
     `need_target_grad`, since dy sums over every candidate), and writes
     padded-geometry gradient tiles; only the reflect-pad fold runs
@@ -315,21 +326,19 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
     preds_p = to_planes(preds.reshape(B * K, H, W, C)).reshape(
         B, K, C, total_in_rows, WP
     )
+    # g/idx slabs follow the input dtype: with bf16 candidate slabs (the
+    # flagship 320x1024 scoped-VMEM budget, supports_shape note 2) they
+    # ship as bf16 too — idx values in [-1, K] are exact in bf16
+    gi_dtype = jnp.bfloat16 if preds.dtype == jnp.bfloat16 else jnp.float32
     g_p = jnp.pad(
-        g.astype(jnp.float32),
+        g.astype(gi_dtype),
         [(0, 0), (2, total_g_rows - 2 - H), (0, WG - W)],
     )
     idx_p = jnp.pad(
         idx.astype(jnp.int32),
         [(0, 0), (2, total_g_rows - 2 - H), (0, WG - W)],
         constant_values=-1,
-    )
-
-    starts = [t * S for t in range(n_tiles)]
-    tgt_t = jnp.moveaxis(_window_tiles(tgt_p, starts, WIN), -3, 1)
-    preds_t = jnp.moveaxis(_window_tiles(preds_p, starts, WIN), -3, 1)
-    g_t = jnp.moveaxis(_window_tiles(g_p, starts, GWIN), -3, 1)
-    idx_t = jnp.moveaxis(_window_tiles(idx_p, starts, GWIN), -3, 1)
+    ).astype(gi_dtype if gi_dtype == jnp.bfloat16 else jnp.int32)
 
     WC = _round_up(W + 4, 128)  # scratch width for boxT zero borders
 
@@ -344,8 +353,8 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
             cfbuf, l1buf = refs[1], refs[2]
             dyacc = None
 
-        tv = tv_ref[0, 0]
-        pv = pv_ref[0, 0]
+        tv = tv_ref[0]
+        pv = pv_ref[0]
         Sc = S + 2  # coefficient rows per tile
 
         def boxT(cf):
@@ -359,8 +368,9 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
                     out = out + cfbuf[di : di + S, dj : dj + W + 2]
             return out
 
-        gm = gv_ref[0, 0, 0:Sc, 0:W]
-        im = iv_ref[0, 0, 0:Sc, 0:W]
+        # upcast: g/idx may arrive as bf16 slabs (idx values exact)
+        gm = gv_ref[0, 0:Sc, 0:W].astype(jnp.float32)
+        im = iv_ref[0, 0:Sc, 0:W].astype(jnp.float32)
 
         if dyacc is not None:
             dyacc[:] = jnp.zeros((C, S, WP), jnp.float32)
@@ -484,18 +494,18 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, C, WIN, WP), lambda b, t: (b, t, 0, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, K, C, WIN, WP), lambda b, t: (b, t, 0, 0, 0, 0)
+            _win_spec((1, C, WIN, WP), WIN, lambda b, t: (b, 0, t * S, 0)),
+            _win_spec(
+                (1, K, C, WIN, WP), WIN, lambda b, t: (b, 0, 0, t * S, 0)
             ),
-            pl.BlockSpec((1, 1, GWIN, WG), lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, GWIN, WG), lambda b, t: (b, t, 0, 0)),
+            _win_spec((1, GWIN, WG), GWIN, lambda b, t: (b, t * S, 0)),
+            _win_spec((1, GWIN, WG), GWIN, lambda b, t: (b, t * S, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(tgt_t, preds_t, g_t, idx_t)
+    )(tgt_p, preds_p, g_p, idx_p)
 
     if need_target_grad:
         dt_pad, dp_pad = res
