@@ -130,6 +130,7 @@ def flagship_cfg():
         depth_num_layers=50,
         pose_num_layers=18,
         extractor_num_layers=50,
+        use_pallas_photometric=_env1("BENCH_PALLAS"),
         height=320,
         width=1024,
         disentangle_layers=(False, False, False, False, True),
