@@ -40,7 +40,9 @@ Env overrides: BENCH_BATCH (default 16: best honest mono_fm config),
 BENCH_STEPS (default 20), BENCH_MODE=train|infer, BENCH_PALLAS=1,
 BENCH_REMAT (default 0), BENCH_BLOCK_WARP (default 1: 2x2 block-gather
 warp; 0 = bit-exact warp), BENCH_BF16 (default 1; 0 = f32),
-BENCH_BF16_WARP=1 (bf16 gather texels), BENCH_SKIP_FLAGSHIP=1,
+BENCH_BF16_WARP=1 (bf16 gather texels), BENCH_EQPOOL (default 0:
+tie-averaged eq-mask CRP pool backward, PARITY.md deviations),
+BENCH_SKIP_FLAGSHIP=1,
 BENCH_FLAGSHIP_BATCH (default 8 under bf16, 4 under f32),
 BENCH_FLAGSHIP_REMAT (default 1), BENCH_EXACT (default 1; 0 skips the
 bit-exact row), BENCH_EXACT_BATCH (default 8: best known exact-mode batch),
@@ -110,6 +112,7 @@ def mono_fm_cfg(exact: bool = False):
             for v in os.environ.get("BENCH_BLOCK_SHAPE", "2,2").split(",")
         ),
         warp_block_features=not exact and _env1("BENCH_BLOCK_FEATURES", "0"),
+        pool_eqmask_grad=not exact and _env1("BENCH_EQPOOL", "0"),
         compute_dtype=(
             "bfloat16" if not exact and _env1("BENCH_BF16") else "float32"
         ),
@@ -142,6 +145,7 @@ def flagship_cfg():
             "bfloat16" if _env1("BENCH_BF16_WARP") else "float32"
         ),
         warp_block_gather=_env1("BENCH_BLOCK_WARP"),
+        pool_eqmask_grad=_env1("BENCH_EQPOOL", "0"),
         compute_dtype="bfloat16" if _env1("BENCH_BF16") else "float32",
     )
 
@@ -157,6 +161,7 @@ def _dtype_fields(exact: bool = False):
             if not exact and _env1("BENCH_BF16_WARP")
             else "float32"
         ),
+        "pool_eqmask_grad": not exact and _env1("BENCH_EQPOOL", "0"),
     }
 
 

@@ -35,6 +35,12 @@ def pool33(x):
     return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
+# the shipping tie-averaged eq-mask implementation (two 25-shift passes)
+from tripled_tpu.models.layers import (  # noqa: E402
+    max_pool_5x5_same_eqmask as pool5_eqmask,
+)
+
+
 def bench(fn, x, label):
     @jax.jit
     def g(x):
@@ -63,12 +69,16 @@ def main():
         print(f"dtype={dtype.__name__}")
         a = bench(pool5, x, "  5x5 SAS       ")
         b = bench(pool33, x, "  3x3+3x3 SAS   ")
+        c = bench(pool5_eqmask, x, "  5x5 eq-mask   ")
         # forward bit-identity
         fa = jax.jit(pool5)(x)
         fb = jax.jit(pool33)(x)
         same = bool(jnp.all(fa == fb))
         print(f"  forward bit-identical: {same}")
         assert same
+        # eq-mask gradient matches SAS on tie-free random data
+        gd = float(jnp.max(jnp.abs(a - c)))
+        print(f"  eq-mask vs SAS grad max|diff| (tie-free): {gd:.3e}")
 
 
 if __name__ == "__main__":

@@ -110,8 +110,10 @@ def main():
     le, ee, de, te = run("exact", batches, val_ds, steps, n_unique)
     ls, es, ds, ts = run("speed", batches, val_ds, steps, n_unique)
 
+    sys.path.insert(0, "/root/repo/dev")
+    from tiebreak_ab import disp_compare
+
     rel = [abs(a - b) / max(abs(a), 1e-12) for a, b in zip(le, ls)]
-    corr = float(np.corrcoef(de.ravel(), ds.ravel())[0, 1])
     eigen_delta = {
         k: (abs(es[k] - ee[k]) / max(abs(ee[k]), 1e-12)) for k in ee
     }
@@ -134,7 +136,7 @@ def main():
         "eigen_exact": ee,
         "eigen_speed": es,
         "eigen_rel_delta": eigen_delta,
-        "final_disp_corr": corr,
+        "final_disp": disp_compare(de, ds),
         "sec_exact": round(te, 1),
         "sec_speed": round(ts, 1),
     }

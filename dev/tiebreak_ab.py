@@ -173,6 +173,27 @@ def make_batches(cfg, n, batch=4, static_frac=0.5):
     return batches
 
 
+def disp_compare(a, b):
+    """Final-disparity agreement stats that stay meaningful when the maps
+    are near-constant (corrcoef is NaN at zero variance)."""
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+    out = {
+        "rel_rmse": float(
+            np.sqrt(np.mean((a - b) ** 2)) / max(np.sqrt(np.mean(a**2)), 1e-12)
+        ),
+        "max_rel_diff": float(np.max(np.abs(a - b)) / max(np.abs(a).max(), 1e-12)),
+        "mean_a": float(a.mean()),
+        "std_a": float(a.std()),
+        "std_b": float(b.std()),
+    }
+    if a.std() > 0 and b.std() > 0:
+        out["corr"] = float(np.corrcoef(a, b)[0, 1])
+    else:
+        out["corr"] = None
+        out["note"] = "near-constant disp; corr undefined, use rel_rmse"
+    return out
+
+
 def trajectory(steps):
     base = canonicalize(
         ModelConfig(
@@ -222,9 +243,6 @@ def trajectory(steps):
     rel = [
         abs(a - b) / max(abs(a), 1e-12) for a, b in zip(l_pallas, l_noisy)
     ]
-    corr = float(
-        np.corrcoef(d_pallas.ravel(), d_noisy.ravel())[0, 1]
-    )
     return {
         "steps": steps,
         "static_sample_frac": 0.5,
@@ -233,8 +251,9 @@ def trajectory(steps):
         "loss_pallas_last5": l_pallas[-5:],
         "loss_noisy_last5": l_noisy[-5:],
         "max_rel_loss_diff": max(rel),
+        "mean_rel_loss_diff": float(np.mean(rel)),
         "final_rel_loss_diff": rel[-1],
-        "final_disp_corr": corr,
+        "final_disp": disp_compare(d_pallas, d_noisy),
         "sec_pallas": round(t_p, 1),
         "sec_noisy": round(t_n, 1),
     }

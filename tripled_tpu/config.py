@@ -141,6 +141,12 @@ class ModelConfig:
     # mono_fm bench config (BASELINE.md round-3 log). Parity studies run
     # on CPU where the flag is inert (TPU-only gate in net.py).
     use_pallas_photometric: bool = True
+    # equality-mask backward for the CRP 5x5 maxpools instead of XLA's
+    # select-and-scatter (models/layers.py:max_pool_5x5_same_eqmask).
+    # Bitwise-identical gradient on tie-free input; exact within-window
+    # ties route the cotangent to all tied positions instead of one.
+    # OPT-IN speed mode; default False keeps the SAS path.
+    pool_eqmask_grad: bool = False
     # rematerialize encoder activations in the backward pass — trades ~30%
     # extra FLOPs for the memory to fit bs≥3 at 320×1024 (SURVEY §7 hard parts)
     remat: bool = False

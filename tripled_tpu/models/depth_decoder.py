@@ -26,6 +26,7 @@ class DepthDecoder(nn.Module):
     bottleneck: int = 256
     use_shuffle: bool = False
     dropout_rate: float = 0.5
+    eqmask_pool: bool = False
 
     @nn.compact
     def __call__(self, features, train: bool = True):
@@ -53,7 +54,7 @@ class DepthDecoder(nn.Module):
                 x = jnp.concatenate([x, prev, prev_disp], axis=-1)
             x = Conv3x3(bn)(x)
             x = nn.leaky_relu(x)
-            x = CRPBlock(bn, 4)(x)
+            x = CRPBlock(bn, 4, eqmask_pool=self.eqmask_pool)(x)
             x = Conv3x3(bn)(x)
             x = nn.leaky_relu(x)
             x = up(x)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -101,18 +102,85 @@ def max_pool_5x5_same(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
 
 
+@jax.custom_vjp
+def max_pool_5x5_same_eqmask(x: jnp.ndarray) -> jnp.ndarray:
+    """`max_pool_5x5_same` with an equality-mask backward instead of XLA's
+    select-and-scatter (13.7 ms/step of the round-4 profile, the CRP pools).
+
+    Backward: position p receives g[q] / ties[q] from every output q in its
+    5×5 neighborhood whose max equals x[p], where ties[q] is the number of
+    window positions tied at the max — two 25-shift elementwise passes that
+    fuse on the VPU. On tie-free windows ties[q] == 1 (division by 1.0 is
+    exact), so the routed gradient is BITWISE identical to
+    select-and-scatter. Deviation: a tied window AVERAGES its cotangent over
+    the tied positions (a valid, mass-conserving subgradient) where SAS (and
+    torch, `/root/reference/mono/model/mono_fm/layers.py:200-215`'s
+    F.max_pool2d) concentrates it on one arbitrary element. Ties are NOT
+    rare inside CRP: stages 2-4 pool conv1x1 of a stride-1 maxpool, whose
+    outputs carry plateaus of genuinely equal values (~10% of windows
+    measured on random input) — a naive all-ties routing inflates plateau
+    gradients up to 25x, which is why the tie count divides.
+    Opt-in via `ModelConfig.pool_eqmask_grad` (default False = bit-exact
+    SAS path).
+    """
+    return max_pool_5x5_same(x)
+
+
+def _mp5_eq_fwd(x):
+    return max_pool_5x5_same(x), x
+
+
+def _shift25(a, H, W):
+    """The 25 (di, dj) translates of a (B, H+4, W+4, C)-padded array."""
+    for di in range(5):
+        for dj in range(5):
+            yield jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(a, di, di + H, axis=1),
+                dj,
+                dj + W,
+                axis=2,
+            )
+
+
+def _mp5_eq_bwd(x, g):
+    y = max_pool_5x5_same(x)  # recomputed: cheaper than saving it in HBM
+    H, W = x.shape[1], x.shape[2]
+    pad = ((0, 0), (2, 2), (2, 2), (0, 0))
+    # -inf pad on x: padding never counts as (or beats) a window max
+    xp = jnp.pad(x, pad, constant_values=-jnp.inf)
+    # ties[q] = number of window positions equal to the max (>= 1)
+    ties = sum(
+        (xs == y).astype(g.dtype) for xs in _shift25(xp, H, W)
+    )
+    gq = g / ties  # exact when ties == 1 (the tie-free case)
+    gp = jnp.pad(gq, pad)
+    # +inf pad on y: out-of-bounds outputs can never match a real x value
+    yp = jnp.pad(y, pad, constant_values=jnp.inf)
+    acc = jnp.zeros_like(x)
+    for ys, gs in zip(_shift25(yp, H, W), _shift25(gp, H, W)):
+        acc = acc + jnp.where(ys == x, gs, 0)
+    return (acc.astype(x.dtype),)
+
+
+max_pool_5x5_same_eqmask.defvjp(_mp5_eq_fwd, _mp5_eq_bwd)
+
+
 class CRPBlock(nn.Module):
     """Chained residual pooling: n_stages × (5×5 maxpool → 1×1 conv), summed
     into the input (`layers.py:200-215`)."""
 
     out_channels: int
     n_stages: int = 4
+    eqmask_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
+        pool = (
+            max_pool_5x5_same_eqmask if self.eqmask_pool else max_pool_5x5_same
+        )
         top = x
         for _ in range(self.n_stages):
-            top = max_pool_5x5_same(top)
+            top = pool(top)
             top = Conv1x1(self.out_channels, use_bias=False)(top)
             x = top + x
         return x

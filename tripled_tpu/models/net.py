@@ -176,6 +176,7 @@ class TripleDNet(nn.Module):
                 tuple(depth_ch),
                 use_shuffle=c.depth_use_shuffle,
                 dropout_rate=c.depth_dropout_rate,
+                eqmask_pool=c.pool_eqmask_grad,
             )
 
         self.pose_encoder = PoseEncoder(c.pose_num_layers, 2, remat=c.remat)
