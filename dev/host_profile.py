@@ -62,8 +62,9 @@ def main():
 
     print(f"cold sample() epoch      : {rate(cold, n)}")
 
-    # ---- warm sample() (decode-cache hits)
-    for reps in range(2):
+    # ---- warm sample() (decode-cache hits); two passes, the second
+    # (fully warm) pass is the reported timing (ADVICE r4)
+    for _ in range(2):
         rng = np.random.RandomState(1)
         t0 = time.perf_counter()
         for i in range(n):

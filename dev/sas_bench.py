@@ -76,9 +76,19 @@ def main():
         same = bool(jnp.all(fa == fb))
         print(f"  forward bit-identical: {same}")
         assert same
-        # eq-mask gradient matches SAS on tie-free random data
+        # eq-mask gradient vs SAS. Only the f32 pass is genuinely tie-free:
+        # bf16's ~8-bit mantissa quantizes [0,1) uniforms into colliding
+        # values inside 5x5 windows, so bf16 deviations here are expected
+        # tie-averaging, not a bug (ADVICE r4).
         gd = float(jnp.max(jnp.abs(a - c)))
-        print(f"  eq-mask vs SAS grad max|diff| (tie-free): {gd:.3e}")
+        if dtype is jnp.float32:
+            print(f"  eq-mask vs SAS grad max|diff| (tie-free): {gd:.3e}")
+            assert gd == 0.0, gd
+        else:
+            print(
+                "  eq-mask vs SAS grad max|diff| "
+                f"(includes bf16 quantization ties): {gd:.3e}"
+            )
 
 
 if __name__ == "__main__":

@@ -111,8 +111,12 @@ def max_pool_5x5_same_eqmask(x: jnp.ndarray) -> jnp.ndarray:
     5×5 neighborhood whose max equals x[p], where ties[q] is the number of
     window positions tied at the max — two 25-shift elementwise passes that
     fuse on the VPU. On tie-free windows ties[q] == 1 (division by 1.0 is
-    exact), so the routed gradient is BITWISE identical to
-    select-and-scatter. Deviation: a tied window AVERAGES its cotangent over
+    exact), so each window routes exactly the gradient select-and-scatter
+    routes; bitwise equality of the per-position SUM over overlapping
+    windows additionally relies on matching XLA's float accumulation order,
+    which `tests/test_eqmask_pool.py` verifies holds on this backend but is
+    an implementation detail, not a guarantee (ADVICE r4).
+    Deviation: a tied window AVERAGES its cotangent over
     the tied positions (a valid, mass-conserving subgradient) where SAS (and
     torch, `/root/reference/mono/model/mono_fm/layers.py:200-215`'s
     F.max_pool2d) concentrates it on one arbitrary element. Ties are NOT
