@@ -42,14 +42,19 @@ from tripled_tpu.train.step import make_train_step  # noqa: E402
 H, W = 192, 640
 
 
-def run(arm, batches, val_ds, steps, n_unique):
+def run(arm, batches, val_ds, steps, n_unique, overrides=None,
+        h=None, w=None, layers=(50, 18, 50)):
+    """Train `steps` on the fixed batch stream and report (losses, Eigen
+    metrics on val_ds GT, final val disparities, seconds). `arm` picks the
+    bench speed bundle vs bit-exact defaults; `overrides` (dataclasses
+    field dict) lets other studies (tiebreak endpoint) reuse the runner."""
     cfg = ModelConfig(
         name="mono_fm",
-        depth_num_layers=50,
-        pose_num_layers=18,
-        extractor_num_layers=50,
-        height=H,
-        width=W,
+        depth_num_layers=layers[0],
+        pose_num_layers=layers[1],
+        extractor_num_layers=layers[2],
+        height=h or H,
+        width=w or W,
         perception_weight=1e-3,
         depth_dropout_rate=0.0,  # isolate numerics from dropout RNG
     )
@@ -60,6 +65,8 @@ def run(arm, batches, val_ds, steps, n_unique):
             warp_block_gather=True,
             warp_gather_dtype="bfloat16",
         )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     model = build_model(cfg)
     tx, _ = make_optimizer(
         OptimConfig(warmup_iters=10), steps_per_epoch=n_unique
@@ -103,7 +110,12 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_unique = 30
 
-    root = build_fixture("/tmp/speed_bundle_kitti", H, W, num_frames=40)
+    # parallax scene: depth-dependent pixel motion, so the endpoint
+    # disparity is NOT constant and the Eigen comparison discriminates
+    # (VERDICT r4 item 4)
+    root = build_fixture(
+        "/tmp/speed_bundle_kitti_px", H, W, num_frames=40, scene="parallax"
+    )
     train_ds, val_ds = make_datasets(root, H, W)
     batches = gen_batches(train_ds, batch, n_unique, seed=7)
 

@@ -259,6 +259,64 @@ def trajectory(steps):
     }
 
 
+def endpoint(steps):
+    """Tie-break endpoint on the NON-degenerate parallax fixture (VERDICT
+    r4 item 4): same-init 300-step runs, Pallas deterministic tie-break vs
+    XLA noisy tie-break, on parallax data (depth-dependent motion, so the
+    final disparity is non-constant and Eigen metrics discriminate) with
+    25% genuinely-static samples mixed in to keep exact ties exercised."""
+    sys.path.insert(0, "/root/repo/dev")
+    from speed_bundle_ab import run as bundle_run
+
+    from tripled_tpu.cli.parity_compare import (
+        build_fixture,
+        gen_batches,
+        make_datasets,
+    )
+
+    h, w = 96, 384  # W % 128 == 0 -> kernel path engages
+    root = build_fixture(
+        "/tmp/tiebreak_kitti_px", h, w, num_frames=40, scene="parallax"
+    )
+    train_ds, val_ds = make_datasets(root, h, w)
+    n_unique = 24
+    batch = 4
+    batches = gen_batches(train_ds, batch, n_unique, seed=7)
+    for b in batches:
+        # first sample of each batch: all frames = the target frame
+        b["color"][:1] = b["color"][:1, :1]
+        b["color_aug"][:1] = b["color_aug"][:1, :1]
+
+    lp, ep, dp, tp = bundle_run(
+        "exact", batches, val_ds, steps, n_unique,
+        overrides={"use_pallas_photometric": True},
+        h=h, w=w, layers=(18, 18, 18),
+    )
+    ln, en, dn, tn = bundle_run(
+        "exact", batches, val_ds, steps, n_unique,
+        overrides={"use_pallas_photometric": False},
+        h=h, w=w, layers=(18, 18, 18),
+    )
+    rel = [abs(a - b) / max(abs(a), 1e-12) for a, b in zip(lp, ln)]
+    return {
+        "fixture": "parallax (non-degenerate; 25% static samples)",
+        "steps": steps,
+        "loss_pallas_last5": lp[-5:],
+        "loss_noisy_last5": ln[-5:],
+        "mean_rel_loss_diff": float(np.mean(rel)),
+        "max_rel_loss_diff": float(np.max(rel)),
+        "final_rel_loss_diff": rel[-1],
+        "eigen_pallas": ep,
+        "eigen_noisy": en,
+        "eigen_rel_delta": {
+            k: abs(ep[k] - en[k]) / max(abs(en[k]), 1e-12) for k in ep
+        },
+        "final_disp": disp_compare(dp, dn),
+        "sec_pallas": round(tp, 1),
+        "sec_noisy": round(tn, 1),
+    }
+
+
 def main():
     assert jax.devices()[0].platform == "tpu", "needs the TPU"
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
@@ -267,10 +325,12 @@ def main():
             "Pallas deterministic-identity tie-break vs XLA noisy "
             "tie-break (reference mono_fm/net.py:166-170): op-level "
             "automask selection agreement on-chip + mono_fm R18 96x384 "
-            "bs4 trajectory on 50% genuinely-static samples"
+            "bs4 trajectory on 50% genuinely-static samples + endpoint "
+            "study on the non-degenerate parallax fixture"
         ),
         "selection": selection_agreement(),
         "trajectory": trajectory(steps),
+        "endpoint_parallax": endpoint(steps),
     }
     print(json.dumps(out, indent=1))
     with open("/root/repo/PARITY_TRAIN.json") as f:

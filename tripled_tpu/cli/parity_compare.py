@@ -27,11 +27,14 @@ import time
 import numpy as np
 
 
-def build_fixture(root, height, width, num_frames=40):
+def build_fixture(root, height, width, num_frames=40, scene="translate"):
     from tripled_tpu.data.synthetic import make_kitti_tree
 
     if not os.path.isdir(os.path.join(root, "2011_09_26")):
-        make_kitti_tree(root, num_frames=num_frames, height=height, width=width)
+        make_kitti_tree(
+            root, num_frames=num_frames, height=height, width=width,
+            scene=scene,
+        )
     os.environ["TRIPLED_SPLITS_DIR"] = os.path.join(root, "splits")
     return root
 
