@@ -215,10 +215,14 @@ def test_bf16_slabs_match_f32(rng_np):
         t16.astype(jnp.float32), p16.astype(jnp.float32), idx, g
     )[1]
     assert gp16.dtype == jnp.bfloat16
+    # 6e-3: the r5 bf16 gradient tiles round inside the kernel and the
+    # reflect-pad fold then adds in bf16 (one extra rounding vs the old
+    # f32-accumulate-then-cast) — worst case one rounding step past the
+    # old 5e-3 envelope
     np.testing.assert_allclose(
         np.asarray(gp16[:, 2:], np.float32),
         np.asarray(gp32[:, 2:]),
-        atol=5e-3,
+        atol=6e-3,
     )
     np.testing.assert_array_equal(
         np.asarray(gp16[:, :2], np.float32), 0.0

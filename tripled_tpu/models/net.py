@@ -532,7 +532,12 @@ class TripleDNet(nn.Module):
             src_f = self.extractor(inputs["color"][:, i], train=train)[0]
             if c.freeze_extractor:
                 src_f = jax.lax.stop_gradient(src_f)
-            feats.append(self._grid_sample(src_f, coords))
+            # under bf16 compute, warp the features in bf16: the gather
+            # texels are bf16 anyway (warp_gather_dtype), but an f32
+            # source built the 4-corner patch tensor in f32 — measured at
+            # ~10 GB/step of avoidable HBM traffic (dev/byte_ledger.py).
+            # The perceptional loss upcasts to f32 at its reduction.
+            feats.append(self._grid_sample(self._cd(src_f), coords))
         return feats
 
     def _warp_features_cropped(self, inputs, outputs, disp0, offset, train):
@@ -557,7 +562,7 @@ class TripleDNet(nn.Module):
                 inputs["color"][:, i], (0, ri, rj, 0), (b, size, size, 3)
             )
             src_f = self.extractor(src, train=train)[0]
-            feats.append(self._grid_sample(src_f, coords))
+            feats.append(self._grid_sample(self._cd(src_f), coords))
         return feats
 
     # ------------------------------------------------------------------ losses
@@ -643,17 +648,19 @@ class TripleDNet(nn.Module):
             warped = self._warp_colors(inputs, outputs, disp)
             from tripled_tpu.ops.pallas import photometric as _pp
 
-            # kernel slab dtype: f32 whenever the f32 slabs fit Mosaic's
-            # scoped-VMEM staging (the r3-validated configuration); bf16
-            # slabs otherwise — that's what unlocks the flagship 320x1024
-            # (supports_shape note 2), and only under bf16 compute where
-            # the warped texels are already bf16-sourced
-            _pk_f32 = _pp.supports_shape(c.height, c.width, 4)
-            _pk_bf16 = (
-                not _pk_f32
-                and c.compute_dtype == "bfloat16"
-                and _pp.supports_shape(c.height, c.width, 2)
+            # kernel slab dtype follows the compute dtype: under bf16
+            # compute the warped texels are already bf16-sourced, and f32
+            # slabs would DOUBLE the kernel HBM traffic (round-5 byte
+            # ledger: the f32 slabs were 18.7 GB/step of the headline's
+            # 182 GB — dev/byte_ledger.py) — beyond the f32 stack
+            # promotion the identity input frames used to cause. f32
+            # slabs are the parity configuration (f32 compute). bf16
+            # slabs also halve Mosaic's scoped-VMEM staging, which is
+            # what unlocks the flagship 320x1024 (supports_shape note 2).
+            _pk_bf16 = c.compute_dtype == "bfloat16" and _pp.supports_shape(
+                c.height, c.width, 2
             )
+            _pk_f32 = not _pk_bf16 and _pp.supports_shape(c.height, c.width, 4)
             if (
                 c.use_pallas_photometric
                 and jax.default_backend() == "tpu"

@@ -430,10 +430,10 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
                     bA = boxT(A)
                     dx = bA + ys_pad * bB + xs_pad * bG + l1p
                     kg = dp_slot[k]
-                    dp_ref[0, kg, c, :, 0 : W + 2] = dx
+                    dp_ref[0, kg, c, :, 0 : W + 2] = dx.astype(grad_dtype)
                     if WP > W + 2:
                         dp_ref[0, kg, c, :, W + 2 : WP] = jnp.zeros(
-                            (S, WP - (W + 2)), jnp.float32
+                            (S, WP - (W + 2)), grad_dtype
                         )
                 if dyacc is not None:
                     A2 = (2.0 / 9.0) * (
@@ -459,28 +459,32 @@ def _backward_tiled(target, preds, g, idx, interpret, grad_ks,
 
                 @pl.when(jnp.logical_not(active))
                 def _(k=k):
-                    dp_ref[0, dp_slot[k]] = jnp.zeros((C, S, WP), jnp.float32)
+                    dp_ref[0, dp_slot[k]] = jnp.zeros((C, S, WP), grad_dtype)
 
             @pl.when(active)
             def _(k=k, gk=gk):
                 _grad_one_candidate(k, gk)
 
         if dyacc is not None:
-            dt_ref[0] = dyacc[:]
+            dt_ref[0] = dyacc[:].astype(grad_dtype)
 
     from jax.experimental.pallas import tpu as pltpu
 
+    # gradient tiles ship in the slab dtype: with bf16 slabs the dp output
+    # was the single largest f32 write of the photometric backward (byte
+    # ledger r5); the consumer (warp reconstruct chain) is bf16 anyway
+    grad_dtype = preds.dtype
     out_specs = []
     out_shape = []
     if need_target_grad:
         out_specs.append(
             pl.BlockSpec((1, C, S, WP), lambda b, t: (b, 0, t, 0))
         )
-        out_shape.append(jax.ShapeDtypeStruct((B, C, R, WP), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((B, C, R, WP), grad_dtype))
     out_specs.append(
         pl.BlockSpec((1, KG, C, S, WP), lambda b, t: (b, 0, 0, t, 0))
     )
-    out_shape.append(jax.ShapeDtypeStruct((B, KG, C, R, WP), jnp.float32))
+    out_shape.append(jax.ShapeDtypeStruct((B, KG, C, R, WP), grad_dtype))
 
     scratch_shapes = []
     if need_target_grad:
