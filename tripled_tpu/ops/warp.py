@@ -118,31 +118,32 @@ def grid_sample(
         # one gather per output pixel fetching all 4 corners (4C channels)
         down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
         downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        patches = jnp.concatenate([img, right, down, downright], axis=-1)
+        if gather_dtype is not None:
+            patches = patches.astype(gather_dtype)
         # Pad gather rows to 64 lanes: the XLA TPU gather emitter switches
         # to a ~1.6x faster strategy at 64-lane rows (measured
         # dev/gather_bench3.py: 12/16/24/32/64/128 lanes -> 144/145/194/
-        # 239/91/102 ms per full-res warp). The zero lanes ride as a
-        # concat operand (one fused build, no separate pad copy — r5 byte
-        # ledger); the barrier keeps the padded tensor materialized as
-        # the micro-benchmarked form instead of fused into the gather.
-        # The padded tensor costs 64/(4C) x the source image in HBM and
-        # stays live across all scales that warp the same source (XLA
-        # CSE), so the trade is only taken below a size cap (default
-        # 1 GB/frame, override TRIPLED_WARP_PAD64_CAP bytes; bs48
-        # @192x640 = 1.5 GB per frame OOMs the 15.75 GB chip under the
-        # train step).
+        # 239/91/102 ms per full-res warp). Zero-pad is sliced back off;
+        # the barrier keeps the padded tensor materialized as the micro-
+        # benchmarked form instead of fused into the gather. The padded
+        # tensor costs 64/(4C) x the source image in HBM and stays live
+        # across all scales that warp the same source (XLA CSE), so the
+        # trade is only taken below a size cap (default 1 GB/frame,
+        # override TRIPLED_WARP_PAD64_CAP bytes; bs48 @192x640 = 1.5 GB
+        # per frame OOMs the 15.75 GB chip under the train step).
+        # DO NOT fold the zero lanes into the concat as an operand: that
+        # "one fused build" form re-fuses the graph into fusions that
+        # re-read far more operand bytes (+45 GB cost-analysis, -20%
+        # measured throughput on the bs16 headline — r5 byte ledger,
+        # BASELINE.md "Negative result"). concat -> cast -> pad ->
+        # barrier is the fast form.
         pc = 4 * c
-        pad64_bytes = b * h * w * 64 * jnp.dtype(
-            gather_dtype or img.dtype
-        ).itemsize
-        planes = [img, right, down, downright]
-        do_pad = pc < 64 and pad64_bytes <= _pad64_cap()
-        if do_pad:
-            planes = planes + [jnp.zeros((b, h, w, 64 - pc), img.dtype)]
-        patches = jnp.concatenate(planes, axis=-1)
-        if gather_dtype is not None:
-            patches = patches.astype(gather_dtype)
-        if do_pad:
+        pad64_bytes = b * h * w * 64 * jnp.dtype(patches.dtype).itemsize
+        if pc < 64 and pad64_bytes <= _pad64_cap():
+            patches = jnp.pad(
+                patches, ((0, 0), (0, 0), (0, 0), (0, 64 - pc))
+            )
             patches = jax.lax.optimization_barrier(patches)
             pc = 64
         g = _gather_flat(patches.reshape(b, h * w, pc), idx00)
@@ -245,26 +246,19 @@ def grid_sample_block(
         for dy in range(py)
         for dx in range(px)
     ]
+    patches = jnp.concatenate(planes, axis=-1)  # (B, H, W, py*px*C)
+    if gather_dtype is not None:
+        patches = patches.astype(gather_dtype)
     pc = py * px * c
     # pad rows up to the next fast-gather width (64 or 128 lanes; both are
     # faster per index than the 12-56 lane modes — dev/gather_bench3.py).
-    # The zero lanes ride as a concat OPERAND so XLA emits ONE fused
-    # build of the padded tensor instead of concat -> pad -> copy (the
-    # separate pad materialized a second full-size patch tensor — r5
-    # byte ledger).
+    # Keep the pad a separate jnp.pad after the cast: zeros-as-concat-
+    # operand measured -20% end-to-end (r5 byte ledger, BASELINE.md
+    # "Negative result").
     pad_to = 64 if pc <= 64 else (128 if pc <= 128 else pc)
-    padded_bytes = b * h * w * pad_to * jnp.dtype(
-        gather_dtype or img.dtype
-    ).itemsize
-    do_pad = pc < pad_to and padded_bytes <= _pad64_cap()
-    if do_pad:
-        planes = planes + [
-            jnp.zeros((b, h, w, pad_to - pc), img.dtype)
-        ]
-    patches = jnp.concatenate(planes, axis=-1)
-    if gather_dtype is not None:
-        patches = patches.astype(gather_dtype)
-    if do_pad:
+    padded_bytes = b * h * w * pad_to * jnp.dtype(patches.dtype).itemsize
+    if pc < pad_to and padded_bytes <= _pad64_cap():
+        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, 0), (0, pad_to - pc)))
         patches = jax.lax.optimization_barrier(patches)
         pc = pad_to
     g = _gather_flat(
