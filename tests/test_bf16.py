@@ -76,6 +76,47 @@ def test_bf16_loss_tracks_f32():
     assert abs(l16 - l32) / abs(l32) < 5e-2, (l16, l32)
 
 
+def test_bf16_feature_losses_track_f32():
+    """The r5 bf16 feature-loss path (feature_regularization_loss +
+    perceptional_loss elementwise in bf16, reductions f32) must track the
+    f32 values per loss term on the joint-extractor flagship, which
+    exercises both ops at feature scale."""
+    _, m16 = _run_one_step(
+        "mono_fm_joint_inpaint_disentangle", "bfloat16", with_mask=True
+    )
+    _, m32 = _run_one_step(
+        "mono_fm_joint_inpaint_disentangle", "float32", with_mask=True
+    )
+    for key in m32:
+        if "feature_regularization" in key or "perceptional" in key:
+            v16, v32 = float(m16[key]), float(m32[key])
+            assert np.isfinite(v16) and np.isfinite(v32), (key, v16, v32)
+            denom = max(abs(v32), 1e-3)
+            assert abs(v16 - v32) / denom < 6e-2, (key, v16, v32)
+
+
+def test_feature_losses_f32_inputs_bit_identical():
+    """With f32 inputs the added astype(f32) reductions are no-ops: the op
+    outputs must be bit-identical to a direct f32 computation."""
+    from tripled_tpu.ops.losses import (
+        feature_regularization_loss,
+        perceptional_loss,
+    )
+
+    rng = np.random.RandomState(3)
+    f = jnp.asarray(rng.randn(2, 12, 20, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 12, 20, 8).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 48, 80, 3).astype(np.float32))
+    p = perceptional_loss(f, g)
+    assert p.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(p),
+        np.asarray(jnp.mean(jnp.sqrt((f - g) ** 2 + 1e-6), axis=-1, keepdims=True)),
+    )
+    r = feature_regularization_loss(f, img, dis=1e-3, cvt=1e-3)
+    assert r.dtype == jnp.float32 and np.isfinite(float(r))
+
+
 def test_f32_default_unchanged():
     # compute_dtype defaults to float32 — the cast helpers must be no-ops
     cfg = canonicalize(base_cfg("mono_baseline"))

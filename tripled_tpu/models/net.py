@@ -577,8 +577,13 @@ class TripleDNet(nn.Module):
         # feature regularization (joint extractor only) — net.py:77-80
         if features is not None and c.joint_extractor:
             for i, f in enumerate(features):
+                # bf16 compute: feature-space loss elementwise in bf16
+                # (reductions stay f32 inside the op) — halves the
+                # flagship's loss fwd/bwd HBM bytes (r5 byte ledger)
                 loss_dict[f"feature_regularization_loss/{i}"] = (
-                    feature_regularization_loss(f, target, c.dis, c.cvt)
+                    feature_regularization_loss(
+                        self._cd(f), target, c.dis, c.cvt
+                    )
                     / (2**i)
                     / 5.0
                 )
@@ -603,6 +608,10 @@ class TripleDNet(nn.Module):
                 warped_feats = self._warp_features(
                     inputs, outputs, outputs["disps"][0], train
                 )
+            # bf16 compute: both operands bf16 so the Charbonnier stays
+            # bf16 (warped_feats already are); the channel-mean reduces
+            # f32 inside perceptional_loss
+            tgt_f = self._cd(tgt_f)
             percep = [perceptional_loss(tgt_f, sf) for sf in warped_feats]
             min_percep = jnp.min(jnp.concatenate(percep, axis=-1), axis=-1)
             loss_dict["min_perceptional_loss"] = (

@@ -26,8 +26,16 @@ def robust_l1(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-3) -> jnp.
 
 
 def perceptional_loss(tgt_f: jnp.ndarray, src_f: jnp.ndarray) -> jnp.ndarray:
-    """Channel-mean robust L1 between feature maps (`net.py:63-65`)."""
-    return jnp.mean(robust_l1(tgt_f, src_f), axis=-1, keepdims=True)
+    """Channel-mean robust L1 between feature maps (`net.py:63-65`).
+
+    The channel-mean always reduces (and returns) in f32; when both inputs
+    are bf16 (compute_dtype='bfloat16' feature path) the elementwise
+    Charbonnier stays bf16 so its fwd/bwd tensors ship at half the HBM
+    bytes (r5 flagship byte ledger: the f32 feature-loss backward was
+    15.4 GB/step at 320x1024). f32 inputs are unchanged (exact path)."""
+    return jnp.mean(
+        robust_l1(tgt_f, src_f).astype(jnp.float32), axis=-1, keepdims=True
+    )
 
 
 def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +82,9 @@ def _edge_weighted(term: jnp.ndarray, img_grad: jnp.ndarray, a: float) -> jnp.nd
         # is empty and jnp.mean would yield nan; the term contributes 0
         return jnp.zeros((), term.dtype)
     w = jnp.exp(-a * jnp.mean(jnp.abs(img_grad), axis=-1, keepdims=True))
-    return jnp.mean(jnp.abs(term) * w)
+    # reduce in f32 regardless of the term dtype (bf16 feature-loss path
+    # keeps the elementwise tensors bf16, the accumulation exact)
+    return jnp.mean((jnp.abs(term) * w).astype(jnp.float32))
 
 
 def _second_order_terms(d: jnp.ndarray, img: jnp.ndarray, a: float) -> jnp.ndarray:
@@ -110,9 +120,16 @@ def feature_regularization_loss(
 
     discriminative (1st-order, maximized) + convergent (2nd-order, minimized)
     gradient loss; edge weights use a=1.
+
+    Runs elementwise in the FEATURE dtype (the resized image is cast to
+    match): under compute_dtype='bfloat16' the caller passes bf16 features
+    so the full-feature-map gradient tensors of the fwd/bwd stay bf16 —
+    the f32 version was the flagship's largest loss-side HBM writer (r5
+    byte ledger, 4x ~1 GB f32 diff tensors at 320x1024). All reductions
+    stay f32 (`_edge_weighted`). f32 features are bit-identical to before.
     """
     b, h, w, _ = feature.shape
-    img = resize_area(img, h, w)
+    img = resize_area(img, h, w).astype(feature.dtype)
     fx, fy = _grad_x(feature), _grad_y(feature)
     ix, iy = _grad_x(img), _grad_y(img)
     smooth1 = _edge_weighted(fx, ix, 1.0) + _edge_weighted(fy, iy, 1.0)
