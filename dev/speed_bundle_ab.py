@@ -22,6 +22,7 @@ enable_compilation_cache()
 import dataclasses  # noqa: E402
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from tripled_tpu.cli.parity_compare import (  # noqa: E402
@@ -75,11 +76,39 @@ def run(arm, batches, val_ds, steps, n_unique, overrides=None,
     step_fn = make_train_step(model, tx, donate=False)
 
     @jax.jit
-    def predict(variables, imgs):
-        # eval mode returns the disp pyramid; [0] is full resolution
-        return model.apply(
-            variables, {"color_aug": imgs, "color": imgs}, train=False
-        )[0]
+    def predict(variables, imgs, K, inv_K):
+        # TRAIN-mode disparities (BN batch statistics, mutation discarded):
+        # short-horizon synthetic studies keep BN's running eval statistics
+        # near their init, which saturates the tanh-based sigmoid head to
+        # EXACT 0/1 (f32 tanh clips beyond |x|~18) and made every endpoint
+        # read "constant disp" (r4/r5 studies). Train-mode stats measure
+        # what the optimization actually learned; both arms are treated
+        # identically. disps[0] depends only on the target frame, so the
+        # source frames are tiled copies (pose/warp outputs are ignored).
+        frames = imgs.shape[1] if imgs.ndim == 5 else 1
+        tiled = jnp.broadcast_to(
+            imgs[:, :1] if imgs.ndim == 5 else imgs[:, None],
+            (imgs.shape[0], max(frames, 3)) + imgs.shape[-3:],
+        )
+        batch = {
+            "color": tiled,
+            "color_aug": tiled,
+            "K": K[None],
+            "inv_K": inv_K[None],
+        }
+        (outputs, _), _ = model.apply(
+            variables,
+            batch,
+            train=True,
+            rngs={
+                "dropout": jax.random.PRNGKey(0),
+                "automask": jax.random.PRNGKey(1),
+                "crop": jax.random.PRNGKey(2),
+                "rotation": jax.random.PRNGKey(3),
+            },
+            mutable=["batch_stats"],
+        )
+        return outputs["disps"][0]
 
     losses = []
     t0 = time.perf_counter()
@@ -94,7 +123,9 @@ def run(arm, batches, val_ds, steps, n_unique, overrides=None,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     for i in range(len(val_ds)):
         s = val_ds.sample(i, np.random.RandomState(i))
-        d = np.asarray(predict(variables, s["color"][None]))[0, :, :, 0]
+        d = np.asarray(
+            predict(variables, s["color"][None], s["K"], s["inv_K"])
+        )[0, :, :, 0]
         disps.append(d)
         val_disps.append(d)
     errs, med, std = evaluate_depth_predictions(

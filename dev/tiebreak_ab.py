@@ -230,12 +230,24 @@ def trajectory(steps):
             )
             losses.append(float(m["loss"]))
         dt = time.perf_counter() - t0
-        # eval mode returns the disp pyramid; [0] is full resolution
-        disp = model.apply(
+        # TRAIN-mode disparities (BN batch statistics, mutation
+        # discarded): the short-horizon study leaves BN's running eval
+        # stats near init, which saturates the sigmoid head to exact 0/1
+        # and voids the comparison (see speed_bundle_ab.predict). disps
+        # depend only on the target frame; both arms use the same rngs.
+        (outputs, _), _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             eval_batch,
-            train=False,
-        )[0]
+            train=True,
+            rngs={
+                "dropout": jax.random.PRNGKey(0),
+                "automask": jax.random.PRNGKey(1),
+                "crop": jax.random.PRNGKey(2),
+                "rotation": jax.random.PRNGKey(3),
+            },
+            mutable=["batch_stats"],
+        )
+        disp = outputs["disps"][0]
         return losses, np.asarray(disp), dt
 
     l_pallas, d_pallas, t_p = run(True)
