@@ -7,7 +7,12 @@ the disentangle channel-split helpers.
 
 Conventions:
 - NHWC everywhere (TPU-native layout; XLA keeps convs on the MXU).
-- kaiming-normal (fan_out) conv init to match the reference's torch init.
+- conv init matches the reference module-for-module: kaiming-normal
+  (fan_out) ONLY where the reference re-inits (ResNets, pose encoders,
+  ChannelAttention — `kaiming_out`); torch Conv2d DEFAULTS everywhere else
+  (`torch_conv_kernel`/`torch_conv_bias` — see the note at their
+  definition; the blanket kaiming_out used through round 4 saturated the
+  CRP decoder's sigmoid disp head at init).
 - BatchNorm: momentum 0.9 / eps 1e-5 (torch defaults); cross-replica sync is
   implicit under jit+sharding (global-batch reduction), matching the
   reference's SyncBN (`mono/apis/trainer.py:156-157`).
@@ -22,6 +27,27 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+# torch Conv2d DEFAULT init: kernel kaiming_uniform_(a=sqrt(5)) == U(+-1/
+# sqrt(fan_in)), bias U(+-1/sqrt(fan_in)). The reference re-inits ONLY its
+# ResNets / pose encoders / ChannelAttention with kaiming fan_out
+# (`mono/model/mono_fm/resnet.py:104`); every decoder/head conv keeps the
+# torch default. Round 5 found that blanket-kaiming_out decoder convs
+# saturate the CRP decoder's sigmoid disp head at init (the summing CRP
+# chain amplifies the 6x-larger per-layer variance until |logits| > 18,
+# where f32 tanh-based sigmoid is EXACTLY 0/1 with zero gradient): a
+# from-scratch model was born with a dead depth head. torch-default init
+# reproduces the reference's healthy init statistics.
+torch_conv_kernel = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv_bias(fan_in: int):
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -50,7 +76,11 @@ class Conv1x1(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
-            self.out_channels, (1, 1), use_bias=self.use_bias, kernel_init=kaiming_out
+            self.out_channels,
+            (1, 1),
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel,
+            bias_init=torch_conv_bias(x.shape[-1]),
         )(x)
 
 
@@ -68,7 +98,11 @@ class Conv3x3(nn.Module):
         else:
             padding = [(1, 1), (1, 1)]
         return nn.Conv(
-            self.out_channels, (3, 3), padding=padding, kernel_init=kaiming_out
+            self.out_channels,
+            (3, 3),
+            padding=padding,
+            kernel_init=torch_conv_kernel,
+            bias_init=torch_conv_bias(9 * x.shape[-1]),
         )(x)
 
 
@@ -84,7 +118,11 @@ class Conv5x5(nn.Module):
         else:
             padding = [(2, 2), (2, 2)]
         return nn.Conv(
-            self.out_channels, (5, 5), padding=padding, kernel_init=kaiming_out
+            self.out_channels,
+            (5, 5),
+            padding=padding,
+            kernel_init=torch_conv_kernel,
+            bias_init=torch_conv_bias(25 * x.shape[-1]),
         )(x)
 
 
@@ -349,12 +387,24 @@ class UpShuffle(nn.Module):
         c = self.channels
 
         def subpixel_init(key, shape, dtype=jnp.float32):
+            # the reference's init_subpixel draws the sub-kernel with
+            # torch kaiming_normal_ DEFAULTS (fan_in mode), then repeats
+            # it r^2 times (`mono_fm_joint/layers.py:114-122`)
             kh, kw, cin, cout = shape
-            sub = kaiming_out(key, (kh, kw, cin, cout // (r * r)), dtype)
+            kaiming_in = nn.initializers.variance_scaling(
+                2.0, "fan_in", "normal"
+            )
+            sub = kaiming_in(key, (kh, kw, cin, cout // (r * r)), dtype)
             return jnp.repeat(sub, r * r, axis=-1)
 
         x = reflect_pad(x, 1)
-        x = nn.Conv(c * r * r, (3, 3), padding="VALID", kernel_init=subpixel_init)(x)
+        x = nn.Conv(
+            c * r * r,
+            (3, 3),
+            padding="VALID",
+            kernel_init=subpixel_init,
+            bias_init=torch_conv_bias(9 * x.shape[-1]),
+        )(x)
         b, h, w, _ = x.shape
         # NHWC pixel shuffle: (B,H,W,C*r*r) -> (B,H*r,W*r,C). torch's
         # nn.PixelShuffle reads the channel axis as (C, r, r) — out channel

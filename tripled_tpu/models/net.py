@@ -727,7 +727,19 @@ class TripleDNet(nn.Module):
                     tgt_r = resize_bilinear(inputs["color"][:, i], h, w)
                     m_r = resize_bilinear(eq["masks"][i][s], h, w)
                     l = reprojection_loss(res, tgt_r)
-                    eq_losses.append(jnp.sum(l * (1 - m_r)) / jnp.sum(1 - m_r))
+                    num = jnp.sum(l * (1 - m_r))
+                    denom = jnp.sum(1 - m_r)
+                    # the reference divides by sum(1-mask) unguarded
+                    # (`mono_fm_joint_inpaint/net.py:761`) and NaNs when a
+                    # garbage early-training warp drags the whole mask to 1
+                    # (surfaced by the r5 torch-default init, whose healthy
+                    # disp actually moves the warp); a vacuous frame
+                    # contributes 0 instead (same policy as the r2
+                    # smooth_loss degenerate-map guard)
+                    eq_losses.append(
+                        jnp.where(denom > 0, num, 0.0)
+                        / jnp.maximum(denom, 1.0)
+                    )
                 min_eq = jnp.min(jnp.stack(eq_losses))
                 loss_dict[f"min_equivariant_loss/{s}"] = (
                     c.equivariant_weight * min_eq / n_scales

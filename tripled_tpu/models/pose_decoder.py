@@ -6,14 +6,28 @@ from __future__ import annotations
 
 from flax import linen as nn
 
+from tripled_tpu.models.layers import torch_conv_bias, torch_conv_kernel
+
 
 class PoseDecoder(nn.Module):
+    # torch Conv2d default init (the reference does not re-init this
+    # module — see layers.torch_conv_kernel note)
     @nn.compact
     def __call__(self, bottom_feature):
-        x = nn.relu(nn.Conv(256, (1, 1), use_bias=True)(bottom_feature))
-        x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x))
-        x = nn.Conv(6, (1, 1), use_bias=True)(x)
+        def conv(ch, k, x, pad=None):
+            return nn.Conv(
+                ch,
+                (k, k),
+                padding=pad if pad is not None else "VALID" if k == 1 else None,
+                use_bias=True,
+                kernel_init=torch_conv_kernel,
+                bias_init=torch_conv_bias(k * k * x.shape[-1]),
+            )(x)
+
+        x = nn.relu(conv(256, 1, bottom_feature))
+        x = nn.relu(conv(256, 3, x, pad=[(1, 1), (1, 1)]))
+        x = nn.relu(conv(256, 3, x, pad=[(1, 1), (1, 1)]))
+        x = conv(6, 1, x)
         x = x.mean(axis=(1, 2)) * 0.01  # (B, 6)
         out = x.reshape(-1, 1, 1, 6)
         return out[..., :3], out[..., 3:]
