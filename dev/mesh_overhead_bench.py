@@ -53,12 +53,16 @@ def main():
 
     state, step, inputs = bench._build(cfg, batch)
     rng = jax.random.PRNGKey(0)
+    # host copy BEFORE timing: the bench step donates its state, so the
+    # first bare call deletes the original device buffers and the mesh
+    # path below must start from a fresh transfer
+    state_host = jax.tree_util.tree_map(np.asarray, state)
     bare_ms = _time_steps(step, state, inputs, rng, steps)
     print(f"bare step         : {bare_ms:8.1f} ms/step "
           f"({batch / bare_ms * 1e3:.2f} imgs/s)")
 
     mesh = make_mesh()
-    state_m = jax.device_put(state, replicated_sharding(mesh))
+    state_m = jax.device_put(state_host, replicated_sharding(mesh))
     inputs_m = shard_batch({k: np.asarray(v) for k, v in inputs.items()}, mesh)
     mesh_ms = _time_steps(step, state_m, inputs_m, rng, steps)
     print(f"mesh-sharded step : {mesh_ms:8.1f} ms/step "
